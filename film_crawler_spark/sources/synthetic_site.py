@@ -1,0 +1,229 @@
+"""Deterministic synthetic film site — the sandbox's HTTP stand-in.
+
+The reference crawls a live site with ``requests``/Selenium (reference
+spiders.py:135-154, 1508-1564). The sandbox has no network, so fetches
+resolve against this pure function of (url, attempt): same URL, same
+bytes, every run, every machine. That determinism is what makes the
+"exact frontier ordering + identical seen set" assertions testable.
+
+Site shape (mirrors the reference's film→photos traversal, §3.2 of
+SURVEY.md):
+
+  depth 0  /title/tt<id>/                 title page: hero fields, photo
+                                          count ("N Photos" — drives the
+                                          ceil(N/48) pagination of
+                                          reference spiders.py:707-709)
+  depth 1  /title/tt<id>/mediaindex?page=k   photo grid, <=48 rm links
+  depth 2  /title/tt<id>/mediaviewer/rm<N>   caption + small/large URLs
+  depth 3  https://img.media-h<j>.com/images/rm<N>.<SIZE>.<ext>
+                                          image bytes (png or dctq)
+
+Hosts are deliberately skewed: ~half of all titles live on host 0 (the
+"hot host"), the rest spread uniformly — this exercises the salted-key
+skew handling the north_rule demands. Errors are seeded: a slice of
+URLs 404 permanently, another slice 500s until a per-URL heal attempt
+(exercises the retry/dead-letter policy, reference spiders.py:116-133).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from film_crawler_spark.functions.images import dctq_encode, png_encode
+from film_crawler_spark.functions.urls import murmur3_x86_32
+
+PER_PAGE = 48  # reference spiders.py:177 PER_PAGE_OF_IMG
+
+ADJ = ["Silent", "Crimson", "Golden", "Broken", "Electric", "Midnight", "Paper", "Iron", "Hollow", "Distant"]
+NOUN = ["Horizon", "Garden", "Station", "River", "Mirror", "Harvest", "Signal", "Empire", "Voyage", "Letter"]
+
+
+def _h(s: str) -> int:
+    return murmur3_x86_32(s.encode("utf-8")) & 0xFFFFFFFF
+
+
+@dataclass(frozen=True)
+class SiteConfig:
+    """Knobs for the synthetic world. All content derives from (seed, id)."""
+
+    seed: int = 42
+    n_hosts: int = 4  # host 0 is hot (~50% of titles)
+    hot_host_share: float = 0.5
+    max_images_per_title: int = 120  # => up to 3 mediaindex pages
+    p_404: float = 0.02  # permanent 404s
+    p_500: float = 0.02  # flaky: 500 until heal_attempt
+    max_heal_attempt: int = 3
+    small_wh: tuple[int, int] = (32, 24)
+    large_wh: tuple[int, int] = (96, 72)
+    ori_wh: tuple[int, int] = (128, 96)
+    lossy_q: float = 2.0  # keeps PSNR >= 40 dB even on noise
+
+
+@dataclass
+class FetchResult:
+    status: int
+    kind: str  # title | mediaindex | photo_detail | image_blob | error
+    body: bytes = b""
+    text: str = ""
+    meta: dict = field(default_factory=dict)
+
+
+class SyntheticSite:
+    """Pure-function site resolver; safe to construct inside executors
+    (cheap, stateless) — the fetch UDF builds one per partition."""
+
+    def __init__(self, cfg: SiteConfig | None = None):
+        self.cfg = cfg or SiteConfig()
+
+    # -- identity / topology ------------------------------------------------
+
+    def host_of_title(self, tt: str) -> str:
+        h = _h(f"{self.cfg.seed}:host:{tt}")
+        if (h % 1000) / 1000.0 < self.cfg.hot_host_share:
+            return "www.media-h0.com"
+        j = 1 + h % (self.cfg.n_hosts - 1) if self.cfg.n_hosts > 1 else 0
+        return f"www.media-h{j}.com"
+
+    def title_url(self, tt: str) -> str:
+        return f"https://{self.host_of_title(tt)}/title/{tt}/"
+
+    def title_name(self, tt: str) -> str:
+        h = _h(f"{self.cfg.seed}:name:{tt}")
+        return f"{ADJ[h % 10]} {NOUN[(h >> 4) % 10]} {1900 + (h >> 8) % 126}"
+
+    def n_images(self, tt: str) -> int:
+        return _h(f"{self.cfg.seed}:nimg:{tt}") % (self.cfg.max_images_per_title + 1)
+
+    def rm_id(self, tt: str, idx: int) -> str:
+        return f"rm{_h(f'{self.cfg.seed}:rm:{tt}:{idx}') % 10**9:09d}{idx % 10}"
+
+    def caption(self, tt: str, rm: str) -> str:
+        h = _h(f"{self.cfg.seed}:cap:{rm}")
+        return (
+            f"{self.title_name(tt)} — still {h % 97}: "
+            f"{ADJ[(h >> 7) % 10].lower()} {NOUN[(h >> 11) % 10].lower()} scene"
+        )
+
+    def img_fmt(self, rm: str) -> str:
+        return "png" if _h(f"{self.cfg.seed}:fmt:{rm}") % 2 == 0 else "dctq"
+
+    def img_url(self, tt: str, rm: str, size: str) -> str:
+        host = self.host_of_title(tt).replace("www.", "img.")
+        ext = self.img_fmt(rm)
+        spec = {"small": "UX32_CR0", "large": "UX96_CR0"}[size]
+        return f"https://{host}/images/{rm}.{spec}.{ext}"
+
+    # NOTE: the ori URL is never *constructed* by the crawler — it must be
+    # derived from the large URL by the split('.')[:3]+[-1:] rule
+    # (reference spiders.py:767-771); img_url yields exactly that shape.
+
+    # -- error model ---------------------------------------------------------
+
+    def status_of(self, url: str, attempt: int) -> int:
+        h = _h(f"{self.cfg.seed}:status:{url}")
+        r = (h % 10000) / 10000.0
+        if r < self.cfg.p_404:
+            return 404
+        if r < self.cfg.p_404 + self.cfg.p_500:
+            heal = 1 + (h >> 16) % self.cfg.max_heal_attempt
+            if attempt < heal:
+                return 500
+        return 200
+
+    # -- pixel content -------------------------------------------------------
+
+    def image_pixels(self, rm: str, size: str) -> np.ndarray:
+        w, h = {"small": self.cfg.small_wh, "large": self.cfg.large_wh, "ori": self.cfg.ori_wh}[size]
+        rng = np.random.default_rng(_h(f"{self.cfg.seed}:px:{rm}"))
+        yy, xx = np.mgrid[0:h, 0:w]
+        f1, f2 = 3 + rng.integers(0, 20), 3 + rng.integers(0, 20)
+        base = np.sin(xx / f1) * 60 + np.cos(yy / f2) * 50 + 128
+        chans = [
+            np.clip(base * rng.uniform(0.6, 1.2) + rng.uniform(-30, 30), 0, 255)
+            for _ in range(3)
+        ]
+        img = np.stack(chans, axis=-1) + rng.normal(0, 2.0, (h, w, 3))
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def image_bytes(self, rm: str, size: str) -> bytes:
+        px = self.image_pixels(rm, size)
+        if self.img_fmt(rm) == "png":
+            return png_encode(px)
+        return dctq_encode(px, q=self.cfg.lossy_q)
+
+    # -- page bodies ----------------------------------------------------------
+
+    def _title_body(self, tt: str) -> str:
+        n = self.n_images(tt)
+        name = self.title_name(tt)
+        h = _h(f"{self.cfg.seed}:hero:{tt}")
+        rating = f"{1 + (h % 90) / 10.0:.1f}"
+        meta = str(h % 101)
+        return (
+            f"<html><head><title>{name} - Films</title></head>\n"
+            f'<body data-testid="hero">\n<h1>{name}</h1>\n'
+            f'<span class="rating">{rating}/10</span>\n'
+            f'<span class="metascore">{meta}</span>\n'
+            f'<a href="/title/{tt}/mediaindex?page=1">photos</a>\n'
+            f'<span class="image-count">{n:,} Photos</span>\n</body></html>'
+        )
+
+    def _mediaindex_body(self, tt: str, page: int) -> str:
+        n = self.n_images(tt)
+        first, last = (page - 1) * PER_PAGE, min(page * PER_PAGE, n)
+        rows = [
+            f'<a class="thumb" href="/title/{tt}/mediaviewer/{self.rm_id(tt, i)}">'
+            f'<img src="{self.img_url(tt, self.rm_id(tt, i), "small")}"/></a>'
+            for i in range(first, last)
+        ]
+        return (
+            f"<html><body data-kind='mediaindex' data-page='{page}'>\n"
+            + "\n".join(rows)
+            + "\n</body></html>"
+        )
+
+    def _photo_detail_body(self, tt: str, rm: str) -> str:
+        return (
+            f"<html><body data-kind='photo'>\n"
+            f'<div class="caption">{self.caption(tt, rm)}</div>\n'
+            f'<img data-size="small" src="{self.img_url(tt, rm, "small")}"/>\n'
+            f'<img data-size="large" src="{self.img_url(tt, rm, "large")}"/>\n'
+            f"</body></html>"
+        )
+
+    # -- the resolver ----------------------------------------------------------
+
+    def fetch(self, url: str, attempt: int = 1) -> FetchResult:
+        """Resolve a URL to (status, body). Pure; attempt only affects the
+        flaky-500 healing (reference retries 500 up to 20x,
+        spiders.py:124-131)."""
+        status = self.status_of(url, attempt)
+        if status != 200:
+            return FetchResult(status=status, kind="error")
+        import re
+
+        m = re.search(r"/title/(tt\d+)/mediaviewer/(rm\d+)", url)
+        if m:
+            return FetchResult(200, "photo_detail", text=self._photo_detail_body(m.group(1), m.group(2)))
+        m = re.search(r"/title/(tt\d+)/mediaindex\?page=(\d+)", url)
+        if m:
+            return FetchResult(200, "mediaindex", text=self._mediaindex_body(m.group(1), int(m.group(2))))
+        m = re.search(r"/title/(tt\d+)/?$", url)
+        if m:
+            return FetchResult(200, "title", text=self._title_body(m.group(1)))
+        m = re.search(r"/images/(rm\d+)\.(?:(UX32_CR0|UX96_CR0)\.)?(png|dctq)$", url)
+        if m:
+            rm = m.group(1)
+            size = {"UX32_CR0": "small", "UX96_CR0": "large", None: "ori"}[m.group(2)]
+            return FetchResult(200, "image_blob", body=self.image_bytes(rm, size), meta={"rm": rm, "size": size})
+        return FetchResult(404, "error")
+
+
+def make_seed_ids(n: int, seed: int = 42) -> list[str]:
+    """Deterministic seed id list WITH duplicates and shuffled order, to
+    exercise the reference's dedup+sort (spiders.py:92-93)."""
+    rng = np.random.default_rng(seed)
+    ids = [f"tt{1 + int(i):07d}" for i in rng.choice(max(2, int(n * 0.9)), size=n, replace=True)]
+    return ids
