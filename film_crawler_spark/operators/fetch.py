@@ -1,0 +1,112 @@
+"""The fetch stage: frontier batch in, (status, body) out — one
+Arrow-batched ``mapInPandas`` pass, repartitioned by host.
+
+Maps the reference's request layer (spiders.py:116-154: UA header GET,
+404 -> give up, 500 -> retry up to 20x, generic retry loop) onto the
+engine: the retry loop runs *inside* the task against the resolver, the
+attempt count rides along as a column, and exhausted URLs surface as
+dead-letter rows instead of a ``remain.csv`` (spiders.py:2995-2998).
+
+The resolver is pluggable: in this sandbox it is the deterministic
+SyntheticSite (no network); on a real deployment it would be an
+httpx/aiohttp client with the same (url, attempt) -> (status, bytes)
+contract — the politeness bucket and retry policy do not change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from film_crawler_spark.operators.politeness import PolitenessConfig, TokenBucket
+from film_crawler_spark.sources.synthetic_site import SiteConfig, SyntheticSite
+
+FETCHED_EXTRA = [
+    T.StructField("status", T.IntegerType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("body", T.BinaryType()),
+    T.StructField("n_attempts", T.IntegerType()),
+    T.StructField("budget_denied", T.BooleanType()),
+]
+
+
+def fetched_schema(frontier_schema: T.StructType) -> T.StructType:
+    return T.StructType(list(frontier_schema.fields) + FETCHED_EXTRA)
+
+
+def fetch_batch(
+    dequeued: DataFrame,
+    site_cfg: SiteConfig,
+    pol: PolitenessConfig,
+) -> DataFrame:
+    """Fetch every dequeued row. Returns frontier columns + status/kind/
+    body/n_attempts/budget_denied.
+
+    Partitioning: by host, and sorted (priority, seq) within the
+    partition, so one host's iteration traffic is a single task fetching
+    in exactly the frontier order — which is what makes the per-host
+    inter-request delay and the budget *exact* rather than approximate.
+    This is NOT a skew hazard: the dequeue already capped each host at
+    its politeness budget, so a fetch task is bounded by the budget, not
+    by the (possibly massive) pending skew. Skew handling lives in the
+    dequeue's salted two-phase top-k, where the unbounded data is.
+    """
+    schema = fetched_schema(dequeued.schema)
+    out_cols = [f.name for f in schema.fields]
+    is_media = {"image_blob"}
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        site = SyntheticSite(site_cfg)
+        html_bucket = TokenBucket(pol.budget_html, pol.delay_s)
+        img_bucket = TokenBucket(pol.budget_img, 0.0)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                media = r.page_kind in is_media
+                bucket = img_bucket if media else html_bucket
+                cap = pol.retry_cap_media if media else pol.retry_cap_500
+                if not bucket.try_acquire(r.host):
+                    rows.append((*r, 0, "denied", b"", 0, True))
+                    continue
+                attempt = int(r.attempts) + 1
+                res = site.fetch(r.url, attempt)
+                while res.status == 500 and attempt < cap:
+                    attempt += 1
+                    res = site.fetch(r.url, attempt)
+                body = res.body if res.body else res.text.encode("utf-8")
+                rows.append((*r, res.status, res.kind, body, attempt, False))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return (
+        dequeued.repartition("host")
+        .sortWithinPartitions("host", "priority", "seq")
+        .mapInPandas(_run, schema)
+    )
+
+
+def split_outcomes(fetched: DataFrame, pol: PolitenessConfig) -> dict[str, DataFrame]:
+    """Route fetch results: ok pages to parse, exhausted retries to
+    dead_letter, budget-denied rows back to the frontier, everything
+    attempted into the seen delta (matching the reference: a 404'd id is
+    never re-tried — its directory check 'exists', spiders.py:304-308,
+    because partial output was written; we model terminal = attempted)."""
+    attempted = fetched.filter(~F.col("budget_denied"))
+    return {
+        "ok": attempted.filter(F.col("status") == 200),
+        "dead": attempted.filter(F.col("status") != 200).select(
+            F.col("canon_url").alias("url"),
+            F.col("page_kind").alias("kind"),
+            F.col("n_attempts").alias("attempts"),
+            F.concat(F.lit("http_"), F.col("status")).alias("last_error"),
+            F.col("discovered_at_iter").alias("iteration"),
+        ),
+        "seen_delta": attempted.select("canon_url", "url_hash", "shard", "host", "status"),
+        "denied": fetched.filter(F.col("budget_denied")).select(
+            *[f.name for f in fetched.schema.fields if f.name not in
+              ("status", "kind", "body", "n_attempts", "budget_denied")]
+        ),
+    }

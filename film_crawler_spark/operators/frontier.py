@@ -1,0 +1,98 @@
+"""The URL frontier: a per-host priority queue as a DataFrame.
+
+The reference's frontier is an in-memory Python list sliced into
+fixed-size epochs (reference spiders.py:208-277: epoch = THREADS*2 URLs,
+slice at 270-271, order = sorted seeds optionally reversed at 93,
+172-173). The engine makes it an explicit table:
+
+    (url, canon_url, url_hash, shard, host, priority, seq,
+     depth, page_kind, tt, rm, attempts, discovered_at_iter)
+
+Ordering contract (the "exact frontier ordering per host" gate):
+within a host, URLs are dequeued in ascending (priority, seq) order.
+``priority`` is the crawl depth (BFS: a title's pages before the next
+depth), and ``seq`` is a fixed-width *path string* encoding the full
+discovery lineage — seeds get their rank in the sorted (or reversed)
+seed list as "%012d"; a URL discovered as the j-th link of its parent
+gets parent_seq + "-%06d" % j. Lexicographic order over these strings
+IS the traversal order, it is total (no ties), deterministic, and never
+overflows at 10^10 URLs (where a packed-integer scheme would).
+
+Dequeue is exact top-B-per-host computed in two phases so a hot host
+never serializes a single task (north_rule: salted-key skew handling):
+
+  phase 1: window over (host, salt) — salt = murmur3(canon_url) mod S —
+           takes the per-salt top-B: a superset of <= S*B rows/host;
+  phase 2: window over (host) on that superset takes the true top-B.
+
+Phase 2's per-host group is bounded by S*B (small), so the global sort
+work is spread in phase 1 and the exactness is restored in phase 2 —
+the result is bit-identical to a serial per-host top-B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("canon_url", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("seq", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("page_kind", T.StringType()),
+        T.StructField("tt", T.StringType()),
+        T.StructField("rm", T.StringType()),
+        T.StructField("attempts", T.IntegerType()),
+        T.StructField("discovered_at_iter", T.IntegerType()),
+    ]
+)
+
+
+def seed_seq(rank: int) -> str:
+    return f"{rank:012d}"
+
+
+def child_seq(parent_seq: str, ordinal: int) -> str:
+    return f"{parent_seq}-{ordinal:06d}"
+
+
+def dequeue(
+    pending: DataFrame,
+    budget_per_host: int,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Exact deterministic top-``budget_per_host`` rows per host by
+    (priority asc, seq asc), two-phase for skew. Adds no columns."""
+    cols = pending.columns
+    order = [F.col("priority").asc(), F.col("seq").asc()]
+    # phase 1 — per-(host, salt) local top-B (superset, parallel over salts)
+    salted = pending.withColumn("_salt", F.pmod(F.hash("canon_url"), F.lit(n_salts)))
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    local = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= budget_per_host)
+        .drop("_rn", "_salt")
+    )
+    # phase 2 — exact per-host top-B over the bounded superset
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        local.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= budget_per_host)
+        .drop("_rn")
+        .select(*cols)
+    )
+
+
+def remaining(pending: DataFrame, dequeued: DataFrame) -> DataFrame:
+    """Pending minus the dequeued batch. (canon_url, attempts) identifies
+    a frontier entry uniquely — a retry re-enters as attempts+1."""
+    return pending.join(
+        dequeued.select("canon_url", "attempts"), on=["canon_url", "attempts"], how="left_anti"
+    )

@@ -1,0 +1,186 @@
+"""The parse stage: fetched pages -> extracted rows + discovered URLs.
+
+One Arrow-batched pass per output family, dispatching on ``page_kind``
+— the Spark restatement of the reference's per-page-type ``get*``
+parsers (SURVEY.md §2.11; e.g. hero fields spiders.py:339-362, photo
+grid spiders.py:730-772, photo modal captions spiders.py:1734-1857).
+Parsers are regex over the synthetic bodies; the *shapes* (what is
+extracted, what fans out, in what order) are the reference's.
+
+Discovery ordering: every discovered URL carries seq = child_seq(parent
+seq, ordinal) where ordinal is its position on the page — grid order for
+photos (the reference preserves pool.map input order, spiders.py:749-
+755), page number for pagination, {small, large, ori} = {0, 1, 2} for
+renditions (reference download order, spiders.py:2936-2961).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from film_crawler_spark.functions.images import decode_image, phash64
+from film_crawler_spark.functions.urls import canonicalize_url, n_pages, ori_url, url_host
+from film_crawler_spark.operators.frontier import child_seq
+from film_crawler_spark.sources.synthetic_site import PER_PAGE
+
+# frontier columns the parse UDF emits; url_hash/shard are added JVM-side
+# afterwards (xxhash64/murmur3 must come from Spark so they are the same
+# bits everywhere).
+DISCOVERED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("canon_url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("seq", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("page_kind", T.StringType()),
+        T.StructField("tt", T.StringType()),
+        T.StructField("rm", T.StringType()),
+    ]
+)
+
+TITLE_SCHEMA = T.StructType(
+    [
+        T.StructField("tt", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("rating", T.DoubleType()),
+        T.StructField("metascore", T.IntegerType()),
+        T.StructField("n_images", T.IntegerType()),
+    ]
+)
+
+CAPTION_SCHEMA = T.StructType(
+    [
+        T.StructField("rm", T.StringType()),
+        T.StructField("tt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+    ]
+)
+
+RENDITION_SCHEMA = T.StructType(
+    [
+        T.StructField("rm", T.StringType()),
+        T.StructField("tt", T.StringType()),
+        T.StructField("rendition", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+_RE_COUNT = re.compile(r'class="image-count">([\d,]+) Photos')
+_RE_HERO = re.compile(r"<h1>(.*?)</h1>.*?rating\">([\d.]+)/10</span>.*?metascore\">(\d+)<", re.S)
+_RE_GRID = re.compile(r'href="(/title/(tt\d+)/mediaviewer/(rm\d+))"')
+_RE_CAPTION = re.compile(r'class="caption">(.*?)</div>')
+_RE_SIZED = re.compile(r'data-size="(small|large)" src="([^"]+)"')
+_RE_SIZE_SPEC = re.compile(r"\.(UX32_CR0|UX96_CR0)\.")
+
+
+def discover_links(fetched_ok: DataFrame) -> DataFrame:
+    """All kinds -> newly discovered frontier rows (F1/F5/F7 fan-outs)."""
+    cols = [f.name for f in DISCOVERED_SCHEMA.fields]
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                body = r.body.decode("utf-8", "replace") if r.kind != "image_blob" else ""
+                base = f"https://{r.host}"
+                if r.kind == "title":
+                    m = _RE_COUNT.search(body)
+                    n = int(m.group(1).replace(",", "")) if m else 0
+                    for p in range(1, n_pages(n, PER_PAGE) + 1):
+                        u = f"{base}/title/{r.tt}/mediaindex?page={p}"
+                        rows.append(
+                            (u, canonicalize_url(u), r.host, 1, child_seq(r.seq, p - 1), 1,
+                             "mediaindex", r.tt, None)
+                        )
+                elif r.kind == "mediaindex":
+                    for j, m in enumerate(_RE_GRID.finditer(body)):
+                        u = base + m.group(1)
+                        rows.append(
+                            (u, canonicalize_url(u), r.host, 2, child_seq(r.seq, j), 2,
+                             "photo_detail", m.group(2), m.group(3))
+                        )
+                elif r.kind == "photo_detail":
+                    sized = dict(_RE_SIZED.findall(body))
+                    small, large = sized.get("small"), sized.get("large")
+                    if small and large:
+                        for j, u in enumerate([small, large, ori_url(large)]):
+                            rows.append(
+                                (u, canonicalize_url(u), url_host(u), 3, child_seq(r.seq, j), 3,
+                                 "image_blob", r.tt, r.rm)
+                            )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return fetched_ok.mapInPandas(_run, DISCOVERED_SCHEMA)
+
+
+def extract_titles(fetched_ok: DataFrame) -> DataFrame:
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "title":
+                    continue
+                body = r.body.decode("utf-8", "replace")
+                hero = _RE_HERO.search(body)
+                cnt = _RE_COUNT.search(body)
+                if hero:
+                    rows.append(
+                        (r.tt, hero.group(1), float(hero.group(2)), int(hero.group(3)),
+                         int(cnt.group(1).replace(",", "")) if cnt else 0)
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in TITLE_SCHEMA.fields])
+
+    return fetched_ok.filter(F.col("kind") == "title").mapInPandas(_run, TITLE_SCHEMA)
+
+
+def extract_captions(fetched_ok: DataFrame) -> DataFrame:
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "photo_detail":
+                    continue
+                m = _RE_CAPTION.search(r.body.decode("utf-8", "replace"))
+                if m:
+                    rows.append((r.rm, r.tt, m.group(1)))
+            yield pd.DataFrame(rows, columns=[f.name for f in CAPTION_SCHEMA.fields])
+
+    return fetched_ok.filter(F.col("kind") == "photo_detail").mapInPandas(_run, CAPTION_SCHEMA)
+
+
+def decode_blobs(fetched_ok: DataFrame) -> DataFrame:
+    """image_blob bytes -> decoded metadata + phash (input_hint columns)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "image_blob":
+                    continue
+                m = _RE_SIZE_SPEC.search(r.url)
+                rendition = {"UX32_CR0": "small", "UX96_CR0": "large"}.get(
+                    m.group(1) if m else None, "ori"
+                )
+                try:
+                    px, fmt = decode_image(bytes(r.body))
+                except ValueError:
+                    continue
+                rows.append(
+                    (r.rm, r.tt, rendition, bytes(r.body), px.shape[1], px.shape[0], fmt,
+                     phash64(px))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RENDITION_SCHEMA.fields])
+
+    return fetched_ok.filter(F.col("kind") == "image_blob").mapInPandas(_run, RENDITION_SCHEMA)

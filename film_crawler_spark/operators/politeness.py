@@ -1,0 +1,62 @@
+"""Per-host token-bucket politeness, enforced inside executor partitions.
+
+The reference sleeps 2 s before *every* HTML request on every thread
+(reference spiders.py:78, 136) and leaves media downloads unthrottled
+(spiders.py:2981-2998 — no sleep). The engine generalizes both into a
+per-host token bucket that lives inside the fetch ``mapInPandas`` task:
+
+* the *count* budget (requests/host/iteration) is enforced structurally
+  by the frontier dequeue (top-B per host) and re-checked here so a
+  salted split can never overshoot its share;
+* the *rate* (min delay between requests to one host) is enforced by
+  the bucket — with the frontier repartitioned by host, all of one
+  host's requests in an iteration land in the same task, so the bucket
+  is a plain in-process structure, no cross-executor coordination.
+  (Under salting a host's budget is divided across salt tasks — each
+  bucket gets budget/n_salts — so the global budget still holds.)
+
+The budget is deliberately independent of cluster parallelism: scaling
+from N to 4N executors must not multiply pressure on a host (BASELINE.md
+scaling runs hold the budget fixed).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PolitenessConfig:
+    budget_html: int = 64  # requests/host/iteration, page fetches
+    budget_img: int = 512  # media fetches (reference throttles these less)
+    delay_s: float = 0.0  # min inter-request delay per host (2.0 in the
+    # reference; 0 in sandbox bench so throughput measures the engine,
+    # not sleep())
+    retry_cap_500: int = 20  # reference spiders.py:124-131
+    retry_cap_media: int = 20  # reference spiders.py:4266
+
+
+@dataclass
+class TokenBucket:
+    """One fetch task's per-host state. Not thread-safe — a Spark task is
+    single-threaded by design."""
+
+    budget: int
+    delay_s: float = 0.0
+    used: dict = field(default_factory=dict)
+    last_at: dict = field(default_factory=dict)
+
+    def try_acquire(self, host: str, now: float | None = None) -> bool:
+        """Consume one token for host; False when the budget is spent."""
+        if self.used.get(host, 0) >= self.budget:
+            return False
+        if self.delay_s > 0:
+            t = time.monotonic() if now is None else now
+            wait = self.last_at.get(host, -1e18) + self.delay_s - t
+            if wait > 0:
+                time.sleep(wait)
+                t += wait
+            self.last_at[host] = t
+        self.used[host] = self.used.get(host, 0) + 1
+        return True

@@ -1,0 +1,262 @@
+"""The crawl loop: one Spark job pipeline per frontier iteration.
+
+Spark restatement of the reference's epoch scheduler (reference
+spiders.py:208-295: seed sort/reverse, epoch slicing, thread-pool fan
+out, checkpoint + metrics commit per epoch — see SURVEY.md §3.1):
+
+    frontier(it) --[per-host top-B dequeue, salted two-phase]-->
+    fetch (mapInPandas; token bucket; inline 500-retries) -->
+    parse (discover links / titles / captions / decode blobs) -->
+    seen-filter (Bloom pre-probe + exact anti-join) -->
+    stage {frontier(it+1), seen Δ, bloom snapshot, titles Δ,
+           captions Δ, renditions Δ, images Δ, dead_letter Δ,
+           metrics Δ} --> atomic manifest commit(it)
+
+Structured Streaming is deliberately NOT used here: each iteration's
+discoveries are the next iteration's input (a feedback edge streaming
+cannot express) and exact replayable ordering is part of the contract.
+The loop is a driver-side ``for`` over fully declarative DataFrame jobs;
+nothing is ever collected to the driver except tiny summary counts.
+
+Resume: ``run_crawl`` with the same warehouse continues after the last
+committed iteration — killed mid-iteration, the partial stage dirs are
+overwritten idempotently on re-run (TableIO contract), so an
+interrupted crawl converges to byte-identical tables (tested).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from film_crawler_spark.functions.urls import canonicalize_url
+from film_crawler_spark.operators import frontier as FR
+from film_crawler_spark.operators import parse as P
+from film_crawler_spark.operators.fetch import fetch_batch, split_outcomes
+from film_crawler_spark.operators.politeness import PolitenessConfig
+from film_crawler_spark.operators.seen import BloomSeenSet, filter_unseen
+from film_crawler_spark.sources.synthetic_site import SiteConfig, SyntheticSite
+from film_crawler_spark.sources.tableio import TableIO
+
+RESULT_TABLES = [
+    "frontier", "seen", "bloom", "titles", "captions", "renditions",
+    "images", "dead_letter", "metrics", "fetch_log",
+]
+
+
+@dataclass
+class CrawlConfig:
+    warehouse: str
+    site: SiteConfig = field(default_factory=SiteConfig)
+    politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
+    n_shards: int = 64
+    bloom_bits: int = 1 << 20
+    n_salts: int = 8
+    reverse_seeds: bool = True  # reference main.py:23 is_reverse=True
+    max_iterations: int = 64
+    use_bloom: bool = True
+
+
+def init_frontier(spark: SparkSession, seed_ids: list[str], cfg: CrawlConfig) -> DataFrame:
+    """Seeds -> dedup -> sort (reverse optional) -> ranked frontier rows.
+
+    Mirrors reference spiders.py:85-99 (read, set-dedup, sort) and
+    172-173 (reverse). The global rank is a window without partitioning
+    — fine for seed lists (10^6); at 10^10 the rank would come from a
+    sort + per-partition offsets (monotonic id after a range partition),
+    same total order, no single-task bottleneck.
+    """
+    site = SyntheticSite(cfg.site)
+    bloom = BloomSeenSet(cfg.n_shards, cfg.bloom_bits)
+    ids = spark.createDataFrame([(s,) for s in seed_ids], "id string").distinct()
+    order = F.col("id").desc() if cfg.reverse_seeds else F.col("id").asc()
+    ranked = ids.withColumn("rank", F.row_number().over(Window.orderBy(order)) - 1)
+
+    @F.pandas_udf("string")
+    def title_url(ids_s):
+        return ids_s.map(site.title_url)
+
+    @F.pandas_udf("string")
+    def canon(urls_s):
+        return urls_s.map(canonicalize_url)
+
+    @F.pandas_udf("string")
+    def seqkey(rank_s):
+        return rank_s.map(FR.seed_seq)
+
+    df = (
+        ranked.withColumn("url", title_url("id"))
+        .withColumn("canon_url", canon("url"))
+        .select(
+            "url",
+            "canon_url",
+            F.xxhash64("canon_url").alias("url_hash"),
+            bloom.shard_col(F.col("canon_url")).alias("shard"),
+            F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+            F.lit(0).alias("priority"),
+            seqkey("rank").alias("seq"),
+            F.lit(0).alias("depth"),
+            F.lit("title").alias("page_kind"),
+            F.col("id").alias("tt"),
+            F.lit(None).cast("string").alias("rm"),
+            F.lit(0).alias("attempts"),
+            F.lit(0).alias("discovered_at_iter"),
+        )
+    )
+    return df
+
+
+def _dedup_discovered(discovered: DataFrame) -> DataFrame:
+    """Keep the first discovery of each canon_url by (priority, seq)."""
+    w = Window.partitionBy("canon_url").orderBy("priority", "seq")
+    return discovered.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -> dict:
+    """Execute iteration ``it`` and commit. Returns summary counts."""
+    bloom_set = BloomSeenSet(cfg.n_shards, cfg.bloom_bits)
+    pol = cfg.politeness
+    t0 = time.time()
+
+    pending = io.read_snapshot("frontier", upto=it - 1)
+    if pending is None:
+        raise RuntimeError("frontier not initialized — call run_crawl")
+
+    # --- dequeue: per-kind budgets (reference throttles pages, not media) ---
+    html_pending = pending.filter(F.col("page_kind") != "image_blob")
+    img_pending = pending.filter(F.col("page_kind") == "image_blob")
+    dequeued = FR.dequeue(html_pending, pol.budget_html, cfg.n_salts).unionByName(
+        FR.dequeue(img_pending, pol.budget_img, cfg.n_salts)
+    )
+
+    # --- fetch (persist: feeds parse x4, metrics, seen delta) ---
+    fetched = fetch_batch(dequeued, cfg.site, pol).persist()
+    out = split_outcomes(fetched, pol)
+    ok = out["ok"]
+
+    # --- parse + discover ---
+    discovered = P.discover_links(ok)
+    discovered = (
+        _dedup_discovered(discovered)
+        .withColumn("url_hash", F.xxhash64("canon_url"))
+        .withColumn("shard", bloom_set.shard_col(F.col("canon_url")))
+        .withColumn("attempts", F.lit(0))
+        .withColumn("discovered_at_iter", F.lit(it))
+        .select(*[f.name for f in FR.FRONTIER_SCHEMA.fields])
+    )
+
+    # --- seen filter: committed seen + this iteration's attempts + pending ---
+    seen_exact = io.read_log("seen", upto=it - 1)
+    seen_delta = out["seen_delta"]
+    all_seen = seen_delta if seen_exact is None else seen_exact.select(*seen_delta.columns).unionByName(seen_delta)
+    bloom_prev = io.read_snapshot("bloom", upto=it - 1) if cfg.use_bloom else None
+    unseen = filter_unseen(discovered, all_seen.select("canon_url"), bloom_set, bloom_prev)
+    # not already pending either (exactly-once enqueue, T7)
+    leftover = FR.remaining(pending, dequeued)
+    new_rows = unseen.join(leftover.select("canon_url"), "canon_url", "left_anti").select(
+        *[f.name for f in FR.FRONTIER_SCHEMA.fields]
+    )
+
+    next_pending = leftover.unionByName(out["denied"]).unionByName(new_rows)
+
+    # --- results ---
+    titles = P.extract_titles(ok).withColumn("iteration", F.lit(it))
+    captions = P.extract_captions(ok).withColumn("iteration", F.lit(it))
+    renditions = P.decode_blobs(ok).withColumn("iteration", F.lit(it))
+
+    # flagship images table (input_hint shape): ori rendition + caption.
+    # Captions parse one depth earlier, so by blob-fetch time the caption
+    # is committed (or in this very iteration's delta).
+    caps_all = io.read_log("captions", upto=it - 1)
+    caps_all = captions if caps_all is None else caps_all.unionByName(captions)
+    images = (
+        renditions.filter(F.col("rendition") == "ori")
+        .join(caps_all.select("rm", "caption"), "rm", "left")
+        .select(
+            F.col("rm").alias("image_id"), "bytes", "w", "h", "fmt",
+            F.col("caption"), "phash",
+        )
+        .withColumn("iteration", F.lit(it))
+    )
+
+    metrics = (
+        fetched.groupBy(
+            F.spark_partition_id().alias("partition_id"),
+            "host",
+            F.col("page_kind").alias("kind"),
+            "status",
+        )
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum(F.length("body")).alias("bytes"),
+            F.sum("n_attempts").alias("attempts"),
+        )
+        .withColumn("iteration", F.lit(it))
+    )
+
+    # --- stage everything, then the atomic commit ---
+    io.stage(next_pending.repartition("host"), "frontier", it)
+    io.stage(seen_delta, "seen", it)
+    if cfg.use_bloom:
+        io.stage(bloom_set.merge(bloom_prev, seen_delta.select("shard", "url_hash")), "bloom", it)
+    io.stage(titles, "titles", it)
+    io.stage(captions, "captions", it)
+    io.stage(renditions, "renditions", it)
+    io.stage(images, "images", it)
+    io.stage(out["dead"], "dead_letter", it)
+    io.stage(metrics, "metrics", it)
+    # per-fetch lineage: (iteration, host, priority, seq) reconstructs the
+    # exact per-host fetch order for the replay-equality gate
+    io.stage(
+        fetched.select(
+            "canon_url", "host", "priority", "seq", "depth", "page_kind",
+            "status", "n_attempts", "budget_denied",
+        ).withColumn("iteration", F.lit(it)),
+        "fetch_log",
+        it,
+    )
+
+    n_fetched = fetched.count()
+    n_ok = ok.count()
+    fetched.unpersist()
+    # counts read back from the committed files (parquet footer reads)
+    n_pending_next = io.spark.read.parquet(io._tdir("frontier", it)).count()
+    n_images = io.spark.read.parquet(io._tdir("images", it)).count()
+    summary = {
+        "fetched": n_fetched,
+        "ok": n_ok,
+        "pending_next": n_pending_next,
+        "images": n_images,
+        "wall_s": round(time.time() - t0, 3),
+    }
+    io.commit(it, RESULT_TABLES, extra={"summary": summary})
+    return summary
+
+
+def run_crawl(
+    spark: SparkSession,
+    seed_ids: list[str],
+    cfg: CrawlConfig,
+    progress: bool = False,
+) -> dict:
+    """Run (or resume) the crawl to frontier exhaustion or max_iterations.
+    Returns {iterations: [...summaries], total_wall_s}."""
+    io = TableIO(spark, cfg.warehouse)
+    t0 = time.time()
+    last = io.last_committed()
+    if last is None:
+        io.stage(init_frontier(spark, seed_ids, cfg).repartition("host"), "frontier", -1)
+        io.commit(-1, ["frontier"], extra={"summary": {"init_seeds": len(set(seed_ids))}})
+        last = -1
+    summaries = []
+    for it in range(last + 1, cfg.max_iterations):
+        s = run_iteration(spark, io, cfg, it)
+        summaries.append({"iteration": it, **s})
+        if progress:
+            print(f"[crawl] it={it} {s}", flush=True)
+        if s["pending_next"] == 0:
+            break
+    return {"iterations": summaries, "total_wall_s": round(time.time() - t0, 3)}

@@ -1,0 +1,159 @@
+"""Serial reference simulator — the golden oracle for replay semantics.
+
+A deliberately naive, single-threaded reimplementation of the crawl
+policy the engine distributes: the reference's loop semantics (sort →
+reverse → epoch-slice → skip-if-seen → paginate → download; reference
+spiders.py:85-99, 172-173, 208-308, 705-790, 2936-2961) expressed over
+the same synthetic site and the same per-host budgets. No Spark, no
+partitioning, no Bloom filters — just ordered lists and sets.
+
+The engine's correctness gate (BASELINE.json: "exact frontier ordering
+per host + identical final URL-seen set") is an equality assertion
+between this simulator's trace and the engine's committed tables. If
+the distributed dequeue (salted two-phase top-k), the Bloom+anti-join
+seen filter, or the commit protocol ever reorder or lose a URL, the
+golden tests catch it.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from film_crawler_spark.functions.urls import canonicalize_url, n_pages, ori_url, url_host
+from film_crawler_spark.operators.frontier import child_seq, seed_seq
+from film_crawler_spark.operators.politeness import PolitenessConfig
+from film_crawler_spark.sources.synthetic_site import PER_PAGE, SiteConfig, SyntheticSite
+
+_RE_COUNT = re.compile(r'class="image-count">([\d,]+) Photos')
+_RE_GRID = re.compile(r'href="(/title/(tt\d+)/mediaviewer/(rm\d+))"')
+_RE_SIZED = re.compile(r'data-size="(small|large)" src="([^"]+)"')
+_RE_CAPTION = re.compile(r'class="caption">(.*?)</div>')
+
+
+@dataclass(order=True)
+class SimRow:
+    priority: int
+    seq: str
+    url: str = field(compare=False)
+    canon: str = field(compare=False)
+    host: str = field(compare=False)
+    depth: int = field(compare=False)
+    kind: str = field(compare=False)
+    tt: str = field(compare=False, default=None)
+    rm: str = field(compare=False, default=None)
+
+
+@dataclass
+class SimTrace:
+    fetch_order: dict  # host -> [canon urls in fetch order across iterations]
+    per_iteration: list  # [{host: [canon urls]}]
+    seen: set  # all attempted canon urls
+    dead: list  # (canon, status)
+    images: dict  # rm -> {"captions": str, "renditions": {size: nbytes}}
+    titles: dict  # tt -> n_images
+
+
+def simulate(
+    seed_ids: list[str],
+    site_cfg: SiteConfig,
+    pol: PolitenessConfig,
+    reverse_seeds: bool = True,
+    max_iterations: int = 64,
+) -> SimTrace:
+    site = SyntheticSite(site_cfg)
+    ids = sorted(set(seed_ids), reverse=reverse_seeds)
+    pending: list[SimRow] = []
+    for rank, tt in enumerate(ids):
+        u = site.title_url(tt)
+        pending.append(
+            SimRow(0, seed_seq(rank), u, canonicalize_url(u), url_host(u), 0, "title", tt)
+        )
+
+    seen: set[str] = set()
+    fetch_order: dict[str, list[str]] = {}
+    per_iteration: list[dict] = []
+    dead: list = []
+    images: dict = {}
+    titles: dict = {}
+
+    for _ in range(max_iterations):
+        if not pending:
+            break
+        # --- dequeue: per-host top-B by (priority, seq), per-kind budget ---
+        dequeued: list[SimRow] = []
+        by_host: dict[str, list[SimRow]] = {}
+        for r in sorted(pending):
+            by_host.setdefault(r.host, []).append(r)
+        for host, rows in by_host.items():
+            html = [r for r in rows if r.kind != "image_blob"][: pol.budget_html]
+            img = [r for r in rows if r.kind == "image_blob"][: pol.budget_img]
+            dequeued.extend(html + img)
+        dq_keys = {(r.canon, r.priority, r.seq) for r in dequeued}
+        pending = [r for r in pending if (r.canon, r.priority, r.seq) not in dq_keys]
+
+        # --- fetch in per-host (priority, seq) order ---
+        it_order: dict[str, list[str]] = {}
+        discovered: list[SimRow] = []
+        for host in by_host:
+            for r in sorted([d for d in dequeued if d.host == host]):
+                it_order.setdefault(host, []).append(r.canon)
+                fetch_order.setdefault(host, []).append(r.canon)
+                seen.add(r.canon)
+                attempt = 1
+                res = site.fetch(r.url, attempt)
+                cap = (
+                    pol.retry_cap_media if r.kind == "image_blob" else pol.retry_cap_500
+                )
+                while res.status == 500 and attempt < cap:
+                    attempt += 1
+                    res = site.fetch(r.url, attempt)
+                if res.status != 200:
+                    dead.append((r.canon, res.status))
+                    continue
+                base = f"https://{r.host}"
+                if res.kind == "title":
+                    m = _RE_COUNT.search(res.text)
+                    n = int(m.group(1).replace(",", "")) if m else 0
+                    titles[r.tt] = n
+                    for p in range(1, n_pages(n, PER_PAGE) + 1):
+                        u = f"{base}/title/{r.tt}/mediaindex?page={p}"
+                        discovered.append(
+                            SimRow(1, child_seq(r.seq, p - 1), u, canonicalize_url(u),
+                                   r.host, 1, "mediaindex", r.tt)
+                        )
+                elif res.kind == "mediaindex":
+                    for j, m in enumerate(_RE_GRID.finditer(res.text)):
+                        u = base + m.group(1)
+                        discovered.append(
+                            SimRow(2, child_seq(r.seq, j), u, canonicalize_url(u),
+                                   r.host, 2, "photo_detail", m.group(2), m.group(3))
+                        )
+                elif res.kind == "photo_detail":
+                    cap_m = _RE_CAPTION.search(res.text)
+                    images.setdefault(r.rm, {"renditions": {}})["caption"] = (
+                        cap_m.group(1) if cap_m else None
+                    )
+                    sized = dict(_RE_SIZED.findall(res.text))
+                    small, large = sized.get("small"), sized.get("large")
+                    if small and large:
+                        for j, u in enumerate([small, large, ori_url(large)]):
+                            discovered.append(
+                                SimRow(3, child_seq(r.seq, j), u, canonicalize_url(u),
+                                       url_host(u), 3, "image_blob", r.tt, r.rm)
+                            )
+                elif res.kind == "image_blob":
+                    images.setdefault(r.rm, {"renditions": {}})["renditions"][
+                        res.meta["size"]
+                    ] = len(res.body)
+
+        # --- dedup within iteration (keep min priority, seq), seen filter ---
+        best: dict[str, SimRow] = {}
+        for d in sorted(discovered):
+            best.setdefault(d.canon, d)
+        pending_canons = {r.canon for r in pending}
+        new = [d for d in best.values() if d.canon not in seen and d.canon not in pending_canons]
+        pending.extend(new)
+        per_iteration.append(it_order)
+
+    return SimTrace(fetch_order, per_iteration, seen, dead, images, titles)

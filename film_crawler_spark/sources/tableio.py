@@ -1,0 +1,127 @@
+"""TableIO — atomic multi-table iteration commits over Parquet.
+
+The reference checkpoints with a text file holding the last finished
+epoch plus ``.bak`` copies (reference spiders.py:215-218, 278-281) and
+appends CSVs non-atomically. The engine needs a stronger contract
+(north_rule): each crawl iteration commits *several* tables (frontier
+snapshot, seen delta, results, images, metrics, dead letters) together
+or not at all, and resume replays from the last committed iteration.
+
+With an Iceberg catalog this is a multi-table transaction / tagged
+snapshot. No Iceberg runtime jar ships in this sandbox, so TableIO
+implements the same semantics directly:
+
+* every table write for iteration ``i`` lands under
+  ``<root>/<table>/it=<i>/`` (overwrite-idempotent: re-running a failed
+  iteration simply rewrites the same directory);
+* the commit point is a single JSON manifest
+  ``<root>/_commits/<i>.json`` written via temp-file + atomic rename —
+  readers only ever see iterations with a manifest;
+* reads union the committed ``it=`` directories (snapshot tables read
+  only the latest committed iteration).
+
+On a real cluster the same layout works on HDFS/S3A (rename-as-commit on
+HDFS; on S3 swap the rename for a conditional PUT or use Iceberg proper
+— the interface is the integration point).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+
+    def _tdir(self, table: str, iteration: int) -> str:
+        return os.path.join(self.root, table, f"it={iteration}")
+
+    def _commit_path(self, iteration: int) -> str:
+        return os.path.join(self.root, "_commits", f"{iteration:09d}.json")
+
+    # -- write side ------------------------------------------------------------
+
+    def stage(self, df: DataFrame, table: str, iteration: int) -> None:
+        """Write a table's delta/snapshot for this iteration. NOT visible
+        to readers until commit(iteration)."""
+        df.write.mode("overwrite").parquet(self._tdir(table, iteration))
+
+    def commit(self, iteration: int, tables: list[str], extra: dict | None = None) -> None:
+        """Atomic commit point: temp-write + rename of the manifest."""
+        manifest = {
+            "iteration": iteration,
+            "tables": sorted(tables),
+            "committed_at": time.time(),
+            **(extra or {}),
+        }
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_commits"), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._commit_path(iteration))
+
+    def rollback_uncommitted(self, iteration: int, tables: list[str]) -> None:
+        """Drop staged-but-uncommitted data (crash cleanup; optional since
+        stage() is overwrite-idempotent)."""
+        if os.path.exists(self._commit_path(iteration)):
+            raise ValueError(f"iteration {iteration} is committed; refusing rollback")
+        for t in tables:
+            shutil.rmtree(self._tdir(t, iteration), ignore_errors=True)
+
+    # -- read side --------------------------------------------------------------
+
+    def committed_iterations(self) -> list[int]:
+        cdir = os.path.join(self.root, "_commits")
+        out = []
+        for fn in os.listdir(cdir):
+            if fn.endswith(".json"):
+                out.append(int(fn[:-5]))
+        return sorted(out)
+
+    def last_committed(self) -> int | None:
+        its = self.committed_iterations()
+        return its[-1] if its else None
+
+    def manifest(self, iteration: int) -> dict:
+        with open(self._commit_path(iteration)) as f:
+            return json.load(f)
+
+    def _committed_dirs(self, table: str, upto: int | None = None) -> list[str]:
+        dirs = []
+        for i in self.committed_iterations():
+            if upto is not None and i > upto:
+                continue
+            if table in self.manifest(i)["tables"]:
+                d = self._tdir(table, i)
+                if os.path.exists(d):
+                    dirs.append(d)
+        return dirs
+
+    def read_log(self, table: str, upto: int | None = None) -> DataFrame | None:
+        """Union of all committed deltas (log-structured tables: seen,
+        images, metrics, dead_letter...). None if nothing committed."""
+        dirs = self._committed_dirs(table, upto)
+        if not dirs:
+            return None
+        df = self.spark.read.option("basePath", os.path.join(self.root, table)).parquet(*dirs)
+        # drop the directory-partition column; tables carry an explicit
+        # `iteration` column where lineage matters
+        return df.drop("it")
+
+    def read_snapshot(self, table: str, upto: int | None = None) -> DataFrame | None:
+        """Latest committed snapshot (snapshot tables: frontier pending,
+        bloom shards)."""
+        dirs = self._committed_dirs(table, upto)
+        if not dirs:
+            return None
+        return self.spark.read.parquet(dirs[-1])

@@ -1,0 +1,118 @@
+"""Golden replay tests — the BASELINE.json correctness gate.
+
+The distributed engine and the serial reference simulator crawl the same
+synthetic world under the same seed list and politeness budget; assert:
+
+* exact fetch ordering per host (iteration by iteration),
+* identical final URL-seen set,
+* identical dead-letter set,
+* per-row payload invariants: caption string equality and decoded-pixel
+  fidelity (exact for PNG, PSNR>=40dB for lossy) vs the site's source
+  pixels (input_hint).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from film_crawler_spark.functions.images import decode_image, psnr
+from film_crawler_spark.operators.politeness import PolitenessConfig
+from film_crawler_spark.plans.crawl_loop import CrawlConfig, run_crawl
+from film_crawler_spark.simulator import simulate
+from film_crawler_spark.sources.synthetic_site import SiteConfig, SyntheticSite, make_seed_ids
+from film_crawler_spark.sources.tableio import TableIO
+
+SITE = SiteConfig(max_images_per_title=60)
+POL = PolitenessConfig(budget_html=16, budget_img=200)
+SEEDS = make_seed_ids(10)
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh"))
+    cfg = CrawlConfig(warehouse=wh, site=SITE, politeness=POL, max_iterations=32)
+    run_crawl(spark, SEEDS, cfg)
+    return TableIO(spark, wh)
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return simulate(SEEDS, SITE, POL, reverse_seeds=True, max_iterations=32)
+
+
+def test_exact_fetch_order_per_host(crawled, sim):
+    log = (
+        crawled.read_log("fetch_log")
+        .select("host", "iteration", "priority", "seq", "canon_url")
+        .collect()
+    )
+    engine_order: dict[str, list[str]] = {}
+    for r in sorted(log, key=lambda r: (r["iteration"], r["priority"], r["seq"])):
+        engine_order.setdefault(r["host"], []).append(r["canon_url"])
+    assert set(engine_order) == set(sim.fetch_order)
+    for host in sim.fetch_order:
+        assert engine_order[host] == sim.fetch_order[host], f"order mismatch on {host}"
+
+
+def test_identical_seen_set(crawled, sim):
+    engine_seen = {r["canon_url"] for r in crawled.read_log("seen").select("canon_url").collect()}
+    assert engine_seen == sim.seen
+
+
+def test_identical_dead_letter_set(crawled, sim):
+    engine_dead = {
+        (r["url"], r["last_error"])
+        for r in crawled.read_log("dead_letter").collect()
+    }
+    assert engine_dead == {(c, f"http_{s}") for c, s in sim.dead}
+
+
+def test_caption_equality_and_image_set(crawled, sim):
+    rows = crawled.read_log("images").select("image_id", "caption").collect()
+    engine_caps = {r["image_id"]: r["caption"] for r in rows}
+    sim_with_ori = {rm: v for rm, v in sim.images.items() if "ori" in v.get("renditions", {})}
+    assert set(engine_caps) == set(sim_with_ori)
+    for rm, v in sim_with_ori.items():
+        assert engine_caps[rm] == v["caption"], rm
+
+
+def test_pixel_invariants(crawled):
+    site = SyntheticSite(SITE)
+    rows = crawled.read_log("images").limit(40).collect()
+    assert rows
+    lossy_checked = lossless_checked = 0
+    for r in rows:
+        px, fmt = decode_image(bytes(r["bytes"]))
+        assert fmt == r["fmt"] and px.shape[1] == r["w"] and px.shape[0] == r["h"]
+        src = site.image_pixels(r["image_id"], "ori")
+        if fmt == "png":
+            assert np.array_equal(px, src)
+            lossless_checked += 1
+        else:
+            assert psnr(src, px) >= 40.0
+            lossy_checked += 1
+    assert lossless_checked and lossy_checked
+
+
+def test_renditions_complete(crawled, sim):
+    rend = (
+        crawled.read_log("renditions")
+        .groupBy("rm")
+        .agg(F.collect_set("rendition").alias("rs"))
+        .collect()
+    )
+    engine = {r["rm"]: set(r["rs"]) for r in rend}
+    for rm, v in sim.images.items():
+        if v.get("renditions"):
+            assert engine.get(rm) == set(v["renditions"]), rm
+
+
+def test_titles_match(crawled, sim):
+    rows = crawled.read_log("titles").select("tt", "n_images").collect()
+    assert {r["tt"]: r["n_images"] for r in rows} == sim.titles
+
+
+def test_metrics_lineage_present(crawled):
+    m = crawled.read_log("metrics")
+    assert {"iteration", "partition_id", "host", "kind", "status", "pages", "bytes"} <= set(m.columns)
+    assert m.count() > 0
