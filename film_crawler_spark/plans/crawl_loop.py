@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from film_crawler_spark.functions.urls import canonicalize_url
 from film_crawler_spark.operators import frontier as FR
 from film_crawler_spark.operators import parse as P
+from film_crawler_spark.operators import robots as ROB
 from film_crawler_spark.operators.fetch import fetch_batch, split_outcomes
 from film_crawler_spark.operators.politeness import PolitenessConfig
 from film_crawler_spark.operators.seen import BloomSeenSet, filter_unseen
@@ -43,7 +44,7 @@ from film_crawler_spark.sources.tableio import TableIO
 
 RESULT_TABLES = [
     "frontier", "seen", "bloom", "titles", "captions", "renditions",
-    "images", "dead_letter", "metrics", "fetch_log",
+    "images", "dead_letter", "metrics", "fetch_log", "robots", "robots_denied",
 ]
 
 
@@ -148,14 +149,21 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         .select(*[f.name for f in FR.FRONTIER_SCHEMA.fields])
     )
 
+    # --- robots filter: grow the per-host cache, drop disallowed URLs ---
+    robots_prev = io.read_snapshot("robots", upto=it - 1)
+    robots_cache = ROB.update_robots_cache(robots_prev, discovered.select("host"), cfg.site)
+    discovered, robots_denied = ROB.split_by_robots(discovered, robots_cache)
+
     # --- seen filter: committed seen + this iteration's attempts + pending ---
     seen_exact = io.read_log("seen", upto=it - 1)
     seen_delta = out["seen_delta"]
     all_seen = seen_delta if seen_exact is None else seen_exact.select(*seen_delta.columns).unionByName(seen_delta)
     bloom_prev = io.read_snapshot("bloom", upto=it - 1) if cfg.use_bloom else None
     unseen = filter_unseen(discovered, all_seen.select("canon_url"), bloom_set, bloom_prev)
-    # not already pending either (exactly-once enqueue, T7)
-    leftover = FR.remaining(pending, dequeued)
+    # not already pending either (exactly-once enqueue, T7). leftover is
+    # derived from the *persisted* fetch result rather than the dequeued
+    # plan so the two-phase dequeue windows run exactly once per iteration.
+    leftover = FR.remaining(pending, fetched)
     new_rows = unseen.join(leftover.select("canon_url"), "canon_url", "left_anti").select(
         *[f.name for f in FR.FRONTIER_SCHEMA.fields]
     )
@@ -166,21 +174,6 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     titles = P.extract_titles(ok).withColumn("iteration", F.lit(it))
     captions = P.extract_captions(ok).withColumn("iteration", F.lit(it))
     renditions = P.decode_blobs(ok).withColumn("iteration", F.lit(it))
-
-    # flagship images table (input_hint shape): ori rendition + caption.
-    # Captions parse one depth earlier, so by blob-fetch time the caption
-    # is committed (or in this very iteration's delta).
-    caps_all = io.read_log("captions", upto=it - 1)
-    caps_all = captions if caps_all is None else caps_all.unionByName(captions)
-    images = (
-        renditions.filter(F.col("rendition") == "ori")
-        .join(caps_all.select("rm", "caption"), "rm", "left")
-        .select(
-            F.col("rm").alias("image_id"), "bytes", "w", "h", "fmt",
-            F.col("caption"), "phash",
-        )
-        .withColumn("iteration", F.lit(it))
-    )
 
     metrics = (
         fetched.groupBy(
@@ -197,30 +190,72 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         .withColumn("iteration", F.lit(it))
     )
 
-    # --- stage everything, then the atomic commit ---
-    io.stage(next_pending.repartition("host"), "frontier", it)
-    io.stage(seen_delta, "seen", it)
-    if cfg.use_bloom:
-        io.stage(bloom_set.merge(bloom_prev, seen_delta.select("shard", "url_hash")), "bloom", it)
-    io.stage(titles, "titles", it)
-    io.stage(captions, "captions", it)
-    io.stage(renditions, "renditions", it)
-    io.stage(images, "images", it)
-    io.stage(out["dead"], "dead_letter", it)
-    io.stage(metrics, "metrics", it)
     # per-fetch lineage: (iteration, host, priority, seq) reconstructs the
     # exact per-host fetch order for the replay-equality gate
-    io.stage(
-        fetched.select(
-            "canon_url", "host", "priority", "seq", "depth", "page_kind",
-            "status", "n_attempts", "budget_denied",
-        ).withColumn("iteration", F.lit(it)),
-        "fetch_log",
-        it,
-    )
+    fetch_log = fetched.select(
+        "canon_url", "host", "priority", "seq", "depth", "page_kind",
+        "status", "n_attempts", "budget_denied",
+    ).withColumn("iteration", F.lit(it))
 
-    n_fetched = fetched.count()
+    # --- stage everything, then the atomic commit ---
+    # Staging jobs are independent Spark jobs; submit them concurrently so
+    # the per-job scheduling overhead overlaps (the cluster still sees
+    # ordinary DataFrame writes — this is driver-side concurrency only).
+    # `images` is the one dependency: it reads the renditions parquet so
+    # the decode+phash pass over blob bytes runs once, not twice.
+    n_fetched = fetched.count()  # materializes the persist before fan-out
     n_ok = ok.count()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _stage_images():
+        io.stage(renditions, "renditions", it)
+        renditions_staged = spark.read.parquet(io._tdir("renditions", it))
+        # flagship images table (input_hint shape): ori rendition +
+        # caption. Captions parse one depth earlier, so by blob-fetch time
+        # the caption is committed (or in this very iteration's delta).
+        caps_all = io.read_log("captions", upto=it - 1)
+        caps_all_u = captions if caps_all is None else caps_all.unionByName(captions)
+        images = (
+            renditions_staged.filter(F.col("rendition") == "ori")
+            .join(caps_all_u.select("rm", "caption"), "rm", "left")
+            .select(
+                F.col("rm").alias("image_id"), "bytes", "w", "h", "fmt",
+                F.col("caption"), "phash",
+            )
+            .withColumn("iteration", F.lit(it))
+        )
+        io.stage(images, "images", it)
+
+    jobs = [
+        lambda: io.stage(next_pending.repartition("host"), "frontier", it),
+        lambda: io.stage(seen_delta, "seen", it),
+        lambda: io.stage(titles, "titles", it),
+        lambda: io.stage(captions, "captions", it),
+        lambda: io.stage(out["dead"], "dead_letter", it),
+        lambda: io.stage(metrics, "metrics", it),
+        lambda: io.stage(fetch_log, "fetch_log", it),
+        lambda: io.stage(robots_cache, "robots", it),
+        lambda: io.stage(
+            robots_denied.select("canon_url", "host", "page_kind").withColumn(
+                "iteration", F.lit(it)
+            ),
+            "robots_denied",
+            it,
+        ),
+        _stage_images,
+    ]
+    if cfg.use_bloom:
+        jobs.append(
+            lambda: io.stage(
+                bloom_set.merge(bloom_prev, seen_delta.select("shard", "url_hash")), "bloom", it
+            )
+        )
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futures = [pool.submit(j) for j in jobs]
+        for f in futures:
+            f.result()  # propagate failures before commit
+
     fetched.unpersist()
     # counts read back from the committed files (parquet footer reads)
     n_pending_next = io.spark.read.parquet(io._tdir("frontier", it)).count()
@@ -248,8 +283,21 @@ def run_crawl(
     t0 = time.time()
     last = io.last_committed()
     if last is None:
-        io.stage(init_frontier(spark, seed_ids, cfg).repartition("host"), "frontier", -1)
-        io.commit(-1, ["frontier"], extra={"summary": {"init_seeds": len(set(seed_ids))}})
+        seeds = init_frontier(spark, seed_ids, cfg)
+        robots0 = ROB.fetch_robots_for_hosts(seeds.select("host"), cfg.site)
+        allowed, denied = ROB.split_by_robots(seeds, robots0)
+        io.stage(allowed.repartition("host"), "frontier", -1)
+        io.stage(robots0, "robots", -1)
+        io.stage(
+            denied.select("canon_url", "host", "page_kind").withColumn("iteration", F.lit(-1)),
+            "robots_denied",
+            -1,
+        )
+        io.commit(
+            -1,
+            ["frontier", "robots", "robots_denied"],
+            extra={"summary": {"init_seeds": len(set(seed_ids))}},
+        )
         last = -1
     summaries = []
     for it in range(last + 1, cfg.max_iterations):

@@ -62,13 +62,22 @@ def simulate(
     max_iterations: int = 64,
 ) -> SimTrace:
     site = SyntheticSite(site_cfg)
+
+    robots_cache: dict[str, list[str]] = {}
+
+    def robots_allowed(canon: str, host: str) -> bool:
+        if host not in robots_cache:
+            robots_cache[host] = site.robots(host)["disallow"]
+        path = re.sub(r"^https?://[^/]+", "", canon)
+        return not any(path.startswith(p) for p in robots_cache[host])
+
     ids = sorted(set(seed_ids), reverse=reverse_seeds)
     pending: list[SimRow] = []
     for rank, tt in enumerate(ids):
         u = site.title_url(tt)
-        pending.append(
-            SimRow(0, seed_seq(rank), u, canonicalize_url(u), url_host(u), 0, "title", tt)
-        )
+        canon, host = canonicalize_url(u), url_host(u)
+        if robots_allowed(canon, host):
+            pending.append(SimRow(0, seed_seq(rank), u, canon, host, 0, "title", tt))
 
     seen: set[str] = set()
     fetch_order: dict[str, list[str]] = {}
@@ -152,7 +161,13 @@ def simulate(
         for d in sorted(discovered):
             best.setdefault(d.canon, d)
         pending_canons = {r.canon for r in pending}
-        new = [d for d in best.values() if d.canon not in seen and d.canon not in pending_canons]
+        new = [
+            d
+            for d in best.values()
+            if d.canon not in seen
+            and d.canon not in pending_canons
+            and robots_allowed(d.canon, d.host)
+        ]
         pending.extend(new)
         per_iteration.append(it_order)
 

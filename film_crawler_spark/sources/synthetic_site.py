@@ -86,8 +86,24 @@ class SyntheticSite:
         j = 1 + h % (self.cfg.n_hosts - 1) if self.cfg.n_hosts > 1 else 0
         return f"www.media-h{j}.com"
 
+    def is_private(self, tt: str) -> bool:
+        """~3% of titles live under /private/ — a robots-disallowed prefix
+        (the reference has no robots handling; north_rule adds it)."""
+        return _h(f"{self.cfg.seed}:priv:{tt}") % 100 < 3
+
     def title_url(self, tt: str) -> str:
-        return f"https://{self.host_of_title(tt)}/title/{tt}/"
+        prefix = "/private" if self.is_private(tt) else ""
+        return f"https://{self.host_of_title(tt)}{prefix}/title/{tt}/"
+
+    def robots(self, host: str) -> dict:
+        """Parsed robots.txt for a host: disallow prefixes + crawl delay.
+        Deterministic; www hosts disallow /private/, image hosts allow all."""
+        if host.startswith("www."):
+            return {
+                "disallow": ["/private/"],
+                "crawl_delay_ms": 100 * (1 + _h(f"{self.cfg.seed}:cd:{host}") % 5),
+            }
+        return {"disallow": [], "crawl_delay_ms": 0}
 
     def title_name(self, tt: str) -> str:
         h = _h(f"{self.cfg.seed}:name:{tt}")

@@ -116,3 +116,19 @@ def test_metrics_lineage_present(crawled):
     m = crawled.read_log("metrics")
     assert {"iteration", "partition_id", "host", "kind", "status", "pages", "bytes"} <= set(m.columns)
     assert m.count() > 0
+
+
+def test_robots_respected(crawled, sim):
+    """No fetched URL may fall under a robots-disallowed prefix, and the
+    engine records the denied seeds (north_rule robots handling)."""
+    site = SyntheticSite(SITE)
+    fetched = [r["canon_url"] for r in crawled.read_log("fetch_log").select("canon_url").collect()]
+    for u in fetched:
+        assert "/private/" not in u
+    denied = crawled.read_log("robots_denied")
+    blocked_seeds = {s for s in set(SEEDS) if site.is_private(s)}
+    denied_tts = {
+        r["canon_url"].split("/title/")[1].rstrip("/")
+        for r in denied.collect()
+    }
+    assert denied_tts == blocked_seeds
