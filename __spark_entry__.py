@@ -1,38 +1,60 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship smoke query on sf0.001.
+``queries()``   — one callable per implemented operator (SURVEY.md §2 +
+                  the training-data extensions), from
+                  film_crawler_spark.queries.REGISTRY.
+``oracle_sql()``— the DuckDB twins for every SQL-expressible entry;
+                  rows-only ops (minhash LSH, simhash, LSH-ANN) are
+                  deliberately absent here and verified by pytest
+                  (tests/test_dedup_similarity.py) instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from film_crawler_spark.queries import REGISTRY  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the training-data document pipeline — fingerprint-based
+    dedup + quality + language-id + token stats in one pass over
+    sf0.001 documents (everything JVM-side column expressions)."""
+    from pyspark.sql import functions as F
+
+    from film_crawler_spark.operators import textops as TX
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.lang_id(F.col("text")).alias("pred_lang"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        enriched.withColumn("dup_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("dup_rank") == 1)
+        .drop("dup_rank")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

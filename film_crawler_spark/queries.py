@@ -1,0 +1,629 @@
+"""Driver-oracle query registry: every SQL-expressible operator from
+SURVEY.md §2 (plus the training-data ops), each as BOTH an idiomatic
+DataFrame implementation and an ANSI-SQL twin that DuckDB runs on the
+same parquet — the per-round correctness gate (CORRECTNESS_r{N}.json).
+
+Conventions that keep the cross-check hash-stable:
+* every computed column is aliased identically on both sides;
+* doubles are rounded (6 dp) on both sides;
+* timestamps leave as formatted strings;
+* window ranks are cast to BIGINT on both sides (Spark row_number is
+  int32, DuckDB's is int64);
+* ties are always broken by a key column so orderings are total.
+
+Each entry cites the reference behavior it re-expresses (SURVEY.md §2
+operator ids; file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from film_crawler_spark.functions.urls import ori_url_col
+from film_crawler_spark.operators import dedup as D
+from film_crawler_spark.operators import similarity as SIM
+from film_crawler_spark.operators import textops as TX
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# crawl-operator family (SURVEY §2.1-2.9) on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_seed_dedup_sort(spark, sf):
+    """S1+E2+O1+O2: seed scan -> dedup -> ranked reverse sort
+    (spiders.py:85-99, 172-173)."""
+    ids = t(spark, sf, "orders").select(F.col("o_custkey").alias("id")).distinct()
+    w = Window.orderBy(F.col("id").desc())
+    return ids.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+SQL_SEED_DEDUP_SORT = """
+SELECT id, CAST(row_number() OVER (ORDER BY id DESC) AS BIGINT) AS rank
+FROM (SELECT DISTINCT o_custkey AS id FROM orders)
+"""
+
+
+def q_seen_anti_join(spark, sf):
+    """J1/P2: skip-if-crawled anti-join (spiders.py:304-308)."""
+    orders = t(spark, sf, "orders")
+    seen = t(spark, sf, "customer").filter(F.col("c_acctbal") < 1000)
+    return orders.join(
+        seen, orders.o_custkey == seen.c_custkey, "left_anti"
+    ).select("o_orderkey", "o_custkey")
+
+
+SQL_SEEN_ANTI_JOIN = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal < 1000)
+"""
+
+
+def q_frontier_topk_per_host(spark, sf):
+    """O3: per-host priority dequeue as window top-k (spiders.py:270-271
+    generalized)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+SQL_FRONTIER_TOPK = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_pagination_fanout(spark, sf):
+    """F1: ceil(n/48) page fan-out (spiders.py:705-728, PER_PAGE=48)."""
+    docs = t(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    return docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.ceil(F.col("n_chars") / 48))).alias("page"),
+    )
+
+
+SQL_PAGINATION_FANOUT = """
+SELECT doc_id, unnest(generate_series(1, CAST(ceil(n_chars / 48.0) AS BIGINT))) AS page
+FROM documents WHERE n_chars > 0
+"""
+
+
+def q_rendition_fanout(spark, sf):
+    """F7: {small, large, ori} rendition fan-out (spiders.py:2936-2961)."""
+    return t(spark, sf, "part").select(
+        "p_partkey", F.explode(F.array(F.lit("small"), F.lit("large"), F.lit("ori"))).alias("rendition")
+    )
+
+
+SQL_RENDITION_FANOUT = """
+SELECT p_partkey, r.rendition
+FROM part CROSS JOIN (VALUES ('small'), ('large'), ('ori')) AS r(rendition)
+"""
+
+
+def q_metrics_rollup(spark, sf):
+    """A1: per-epoch counter aggregation as grouped agg (spiders.py:223-295);
+    shape = TPC-H Q1 (partial+final agg via Catalyst)."""
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_METRICS_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_distinct_seed_count(spark, sf):
+    """A3: distinct-count of seeds (spiders.py:92)."""
+    return t(spark, sf, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_seeds"), F.count("*").alias("n_orders")
+    )
+
+
+SQL_DISTINCT_SEED_COUNT = (
+    "SELECT count(DISTINCT o_custkey) AS n_seeds, count(*) AS n_orders FROM orders"
+)
+
+
+def q_ratings_stats(spark, sf):
+    """A4: ratings statistics recomputed from raw events (spiders.py:4979-5039)."""
+    return (
+        t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+
+
+SQL_RATINGS_STATS = """
+SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value,
+       round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_chart_union_dedup(spark, sf):
+    """E1: union + dedup of chart id lists (utils.py:106-116)."""
+    c = t(spark, sf, "customer")
+    top_bal = c.orderBy(F.col("c_acctbal").desc(), "c_custkey").limit(20).select("c_custkey")
+    top_name = c.orderBy("c_name", "c_custkey").limit(20).select("c_custkey")
+    return top_bal.union(top_name).distinct()
+
+
+SQL_CHART_UNION_DEDUP = """
+SELECT c_custkey FROM (SELECT c_custkey FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 20)
+UNION
+SELECT c_custkey FROM (SELECT c_custkey FROM customer ORDER BY c_name, c_custkey LIMIT 20)
+"""
+
+
+def q_repair_set_difference(spark, sf):
+    """E3/J5: repair targeting as set difference (utils.py:415-426)."""
+    have = t(spark, sf, "orders").select(F.col("o_custkey").alias("id")).distinct()
+    done = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("id"))
+    )
+    return have.subtract(done)
+
+
+SQL_REPAIR_SET_DIFFERENCE = """
+SELECT DISTINCT o_custkey AS id FROM orders
+EXCEPT
+SELECT c_custkey AS id FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def q_id_extraction(spark, sf):
+    """P1/X1: URL construction + entity-id regex extract (spiders.py:97-98, 303)."""
+    url = F.concat(
+        F.lit("https://www.h.com/title/tt"),
+        F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        F.lit("/"),
+    )
+    return t(spark, sf, "documents").select(
+        "doc_id", url.alias("url"), F.regexp_extract(url, r"/(tt\d+)", 1).alias("tt")
+    )
+
+
+SQL_ID_EXTRACTION = r"""
+SELECT doc_id,
+       'https://www.h.com/title/tt' || lpad(CAST(doc_id AS VARCHAR), 7, '0') || '/' AS url,
+       regexp_extract('https://www.h.com/title/tt' || lpad(CAST(doc_id AS VARCHAR), 7, '0') || '/', '/(tt\d+)', 1) AS tt
+FROM documents
+"""
+
+
+def q_ori_url_derivation(spark, sf):
+    """X2: ori-URL derivation split('.')[:3]+[-1:] (spiders.py:767-771)."""
+    large = F.concat(
+        F.lit("https://img.media-h.com/images/rm"),
+        F.lpad(F.col("p_partkey").cast("string"), 9, "0"),
+        F.lit(".UX96_CR0.png"),
+    )
+    return t(spark, sf, "part").select(
+        "p_partkey", large.alias("large_url"), ori_url_col(large).alias("ori_url")
+    )
+
+
+SQL_ORI_URL_DERIVATION = """
+SELECT p_partkey, large_url,
+       array_to_string(list_concat(string_split(large_url, '.')[1:3], [string_split(large_url, '.')[-1]]), '.') AS ori_url
+FROM (SELECT p_partkey,
+             'https://img.media-h.com/images/rm' || lpad(CAST(p_partkey AS VARCHAR), 9, '0') || '.UX96_CR0.png' AS large_url
+      FROM part)
+"""
+
+
+def q_whitespace_normalize(spark, sf):
+    """X3/X5: whitespace collapse (spiders.py:877-878, 1193)."""
+    return t(spark, sf, "documents").select(
+        "doc_id", TX.norm_ws(F.col("text")).alias("norm_text")
+    )
+
+
+SQL_WHITESPACE_NORMALIZE = r"""
+SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS norm_text FROM documents
+"""
+
+
+def q_count_parse(spark, sf):
+    """P4/X6/X7: digit-join count parsing (spiders.py:380-387)."""
+    s = F.concat(F.lit("n="), F.col("n_chars"), F.lit(";id="), F.col("doc_id"))
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace(s, r"[^0-9]", "").cast("long").alias("digits"),
+    )
+
+
+SQL_COUNT_PARSE = r"""
+SELECT doc_id,
+       CAST(regexp_replace('n=' || n_chars || ';id=' || doc_id, '[^0-9]', '', 'g') AS BIGINT) AS digits
+FROM documents
+"""
+
+
+def q_month_sequence(spark, sf):
+    """X10: YYYY-MM month-range generator (utils.py:47-62)."""
+    mm = t(spark, sf, "orders").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("mn"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("mx"),
+    )
+    return mm.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 month"))).alias("m")
+    ).select(F.date_format("m", "yyyy-MM").alias("month"))
+
+
+SQL_MONTH_SEQUENCE = """
+SELECT strftime(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)), '%Y-%m') AS month
+FROM (SELECT date_trunc('month', min(o_orderdate)) AS mn,
+             date_trunc('month', max(o_orderdate)) AS mx FROM orders)
+"""
+
+
+def q_epoch_slicing(spark, sf):
+    """O3: fixed-size epoch slicing as rank div batch (spiders.py:211-213,
+    270-271; THREADS*2 generalized to 64)."""
+    w = Window.orderBy("o_orderkey")
+    return (
+        t(spark, sf, "orders")
+        .withColumn("epoch", F.floor((F.row_number().over(w) - 1) / 64).cast("long"))
+        .groupBy("epoch")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_EPOCH_SLICING = """
+SELECT epoch, count(*) AS n FROM (
+  SELECT CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 64) AS BIGINT) AS epoch
+  FROM orders) GROUP BY epoch
+"""
+
+
+def q_join_rollup(spark, sf):
+    """J3+A2: worklist equi-joins + rollup (spiders.py:2902-2930,
+    utils.py:332-402); dims broadcast."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+SQL_JOIN_ROLLUP = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_event_json_extract(spark, sf):
+    """X12: JSON extraction from embedded blobs (spiders.py:2775-2828)."""
+    return t(spark, sf, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+SQL_EVENT_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+def q_sessionize(spark, sf):
+    """T-series stateful semantics batch-side: 30-min-gap sessionization
+    via lag + running sum (engine metrics/session analysis)."""
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps load as TIMESTAMP_NTZ; session TZ is pinned UTC so
+    # the cast is value-preserving and matches DuckDB's naive epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    x = ev.withColumn(
+        "brk",
+        F.when(
+            F.lag("ts").over(w).isNull() | ((us - F.lag(us).over(w)) > 1800 * 1000000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    y = x.withColumn(
+        "session_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return y.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+
+
+SQL_SESSIONIZE = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+y AS (
+  SELECT user_id,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM x)
+SELECT user_id, session_id, count(*) AS n_events FROM y GROUP BY user_id, session_id
+"""
+
+
+def q_event_dedup_latest(spark, sf):
+    """T7: keep-latest dedup per key (exactly-once enqueue semantics)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+SQL_EVENT_DEDUP_LATEST = """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / text analysis / similarity
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup via hash-groupBy (engine-added; SURVEY §2 extension)."""
+    return D.exact_dups(t(spark, sf, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_fingerprint(spark, sf):
+    """Normalization-stable document fingerprint."""
+    return t(spark, sf, "documents").select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM documents
+"""
+
+
+def q_token_count(spark, sf):
+    return t(spark, sf, "documents").select(
+        "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents
+"""
+
+
+def q_lang_id(spark, sf):
+    return t(spark, sf, "documents").select(
+        "doc_id", TX.lang_id(F.col("text")).alias("pred_lang")
+    )
+
+
+def _sql_occ(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"CAST((length(padded) - length(replace(padded, '{needle}', ''))) / {len(needle)} AS INT)"
+    )
+
+
+SQL_LANG_ID = rf"""
+WITH p AS (
+  SELECT doc_id, ' ' || lower(regexp_replace(trim(text), '\s+', ' ', 'g')) || ' ' AS padded
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         {_sql_occ('the')} + {_sql_occ('and')} + {_sql_occ('of')} AS s_en,
+         {_sql_occ('der')} + {_sql_occ('und')} + {_sql_occ('die')} AS s_de,
+         {_sql_occ('le')} + {_sql_occ('et')} + {_sql_occ('les')} AS s_fr,
+         {_sql_occ('el')} + {_sql_occ('y')} + {_sql_occ('los')} AS s_es
+  FROM p)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM s
+"""
+
+
+def q_quality_score(spark, sf):
+    return t(spark, sf, "documents").select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+
+
+SQL_QUALITY_SCORE = rf"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM documents),
+c AS (
+  SELECT doc_id, t,
+         CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS n_tok,
+         length(t) AS n_chars,
+         length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         ' ' || lower(t) || ' ' AS padded
+  FROM n),
+s AS (
+  SELECT doc_id, n_tok, n_chars, n_alpha,
+         {_sql_occ('the')} + {_sql_occ('and')} + {_sql_occ('of')} AS s_en
+  FROM c)
+SELECT doc_id,
+       round(
+         (CASE WHEN n_chars / greatest(n_tok, 1) >= 3 AND n_chars / greatest(n_tok, 1) <= 10 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.2 ELSE 0.0 END)
+         + least(s_en * 2.0 / greatest(n_tok, 1), 0.2)
+         + (n_alpha * 1.0 / greatest(n_chars, 1)) * 0.3, 6) AS quality
+FROM s
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    """Blocked n-gram Jaccard near-dup pairs (word trigrams, block=source)."""
+    return D.ngram_jaccard_pairs(t(spark, sf, "documents"), block_col="source", n=3, threshold=0.0)
+
+
+SQL_NGRAM_JACCARD_PAIRS = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+                                      i -> array_to_string(words[i:i+2], ' '))) AS sh
+  FROM w)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+"""
+
+
+def q_ann_cosine_topk(spark, sf):
+    """Exact brute-force cosine top-5 for the first 5 vectors."""
+    emb = t(spark, sf, "embeddings")
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])), 6) AS score
+  FROM q, c WHERE query_id != neighbor_id)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+  FROM s) WHERE rn <= 5
+"""
+
+
+def q_embedding_centroids(spark, sf):
+    """Per-label centroid of the embedding column (posexplode + agg)."""
+    emb = t(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "e"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("e").cast("double")), 6).alias("c"))
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label, CAST(i - 1 AS INT) AS pos, round(avg(CAST(e AS DOUBLE)), 6) AS c
+FROM (SELECT label, unnest(embedding) AS e,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings)
+GROUP BY label, i
+"""
+
+
+# --- rows-only (no SQL twin; verified by pytest instead) -------------------
+
+
+def q_minhash_lsh_dups(spark, sf):
+    """MinHash+LSH near-dup pairs; non-SQL (hash permutations in NumPy).
+    Verified in tests against exact blocked Jaccard."""
+    return D.minhash_lsh_dups(t(spark, sf, "documents"), jaccard_threshold=0.4)
+
+
+def q_simhash(spark, sf):
+    """SimHash fingerprints; non-SQL (bit ops over word hashes)."""
+    return D.simhash64(t(spark, sf, "documents"))
+
+
+def q_ann_lsh_topk(spark, sf):
+    """LSH-bucketed approximate top-k; non-SQL. Recall vs exact measured
+    in tests."""
+    emb = t(spark, sf, "embeddings")
+    # few planes => dense buckets at small corpus sizes; a 10^10 corpus
+    # would raise n_planes so bucket occupancy stays ~constant
+    return SIM.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=4, n_tables=12)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "seed_dedup_sort": (q_seed_dedup_sort, SQL_SEED_DEDUP_SORT),
+    "seen_anti_join": (q_seen_anti_join, SQL_SEEN_ANTI_JOIN),
+    "frontier_topk_per_host": (q_frontier_topk_per_host, SQL_FRONTIER_TOPK),
+    "pagination_fanout": (q_pagination_fanout, SQL_PAGINATION_FANOUT),
+    "rendition_fanout": (q_rendition_fanout, SQL_RENDITION_FANOUT),
+    "metrics_rollup": (q_metrics_rollup, SQL_METRICS_ROLLUP),
+    "distinct_seed_count": (q_distinct_seed_count, SQL_DISTINCT_SEED_COUNT),
+    "ratings_stats": (q_ratings_stats, SQL_RATINGS_STATS),
+    "chart_union_dedup": (q_chart_union_dedup, SQL_CHART_UNION_DEDUP),
+    "repair_set_difference": (q_repair_set_difference, SQL_REPAIR_SET_DIFFERENCE),
+    "id_extraction": (q_id_extraction, SQL_ID_EXTRACTION),
+    "ori_url_derivation": (q_ori_url_derivation, SQL_ORI_URL_DERIVATION),
+    "whitespace_normalize": (q_whitespace_normalize, SQL_WHITESPACE_NORMALIZE),
+    "count_parse": (q_count_parse, SQL_COUNT_PARSE),
+    "month_sequence": (q_month_sequence, SQL_MONTH_SEQUENCE),
+    "epoch_slicing": (q_epoch_slicing, SQL_EPOCH_SLICING),
+    "join_rollup": (q_join_rollup, SQL_JOIN_ROLLUP),
+    "event_json_extract": (q_event_json_extract, SQL_EVENT_JSON_EXTRACT),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "event_dedup_latest": (q_event_dedup_latest, SQL_EVENT_DEDUP_LATEST),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "minhash_lsh_dups": (q_minhash_lsh_dups, None),
+    "simhash": (q_simhash, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+}

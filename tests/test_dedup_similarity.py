@@ -1,0 +1,111 @@
+"""Verification for the non-SQL-expressible ops (the driver records
+rows-only checks for these, so pytest carries their correctness):
+
+* MinHash+LSH near-dup pairs: every reported pair's Jaccard is exact
+  (the operator verifies candidates), and recall vs the exact blocked
+  scan is high at high similarity;
+* SimHash: identical texts collide, near-identical texts are close,
+  unrelated texts are far;
+* LSH-ANN: bucketed top-k achieves reasonable recall vs exact cosine;
+* phash near-dups: lossy recompressions of the same image are caught.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from film_crawler_spark.functions.images import dctq_decode, dctq_encode, phash64
+from film_crawler_spark.operators import dedup as D
+from film_crawler_spark.operators import similarity as SIM
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        ("the quick brown fox jumps over the lazy dog and runs far away into the woods tonight", 0),
+        ("the quick brown fox jumps over the lazy dog and runs far away into the woods today", 1),
+        ("a completely different sentence about spark shuffles and partition pruning at scale", 2),
+        ("the quick brown fox jumps over the lazy dog and runs far away into the woods tonight", 3),
+        ("yet another unrelated document mentioning bloom filters cuckoo hashing and politeness", 4),
+    ]
+    rows = [(i, t_, "src0") for t_, i in base]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.minhash_lsh_dups(docs, jaccard_threshold=0.5).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5  # near dup
+    assert (2, 4) not in pairs
+
+
+def test_minhash_lsh_jaccards_are_exact(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, block_col="source", threshold=0.0).collect()
+    }
+    for r in D.minhash_lsh_dups(docs, jaccard_threshold=0.3).collect():
+        assert exact[(r["id_a"], r["id_b"])] == r["jaccard"]
+
+
+def test_minhash_lsh_recall_on_testdata(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, block_col="source", threshold=0.6).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_dups(docs, jaccard_threshold=0.6).collect()
+    }
+    if exact:
+        recall = len(exact & found) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall} over {len(exact)} true pairs"
+    # precision is 1.0 by construction (candidates are exact-verified)
+    for p in found:
+        assert p[0] < p[1]
+
+
+def test_simhash_properties(spark, docs):
+    rows = {r["id"]: r["simhash"] for r in D.simhash64(docs).collect()}
+    assert rows[0] == rows[3]  # identical text
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(rows[0], rows[1]) <= 12  # near-identical
+    assert ham(rows[0], rows[2]) > 12  # unrelated
+
+
+def test_ann_lsh_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ann_topk_lsh(emb, q, k=5, n_planes=4, n_tables=12).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 12 tables x 4 planes: union of tables drives recall up
+    assert recall >= 0.6, f"ANN recall {recall}"
+    # every approx hit must be a genuinely scored pair, not noise
+    assert all(qid != nid for qid, nid in approx)
+
+
+def test_phash_near_dups(spark):
+    rng = np.random.default_rng(5)
+    imgs = []
+    for i in range(6):
+        yy, xx = np.mgrid[0:48, 0:64]
+        base = np.sin(xx / (3 + i)) * 60 + np.cos(yy / (2 + i)) * 50 + 128
+        px = np.clip(np.stack([base] * 3, -1) + rng.normal(0, 2, (48, 64, 3)), 0, 255).astype(np.uint8)
+        imgs.append((f"rm{i}", int(phash64(px))))
+        # lossy recompression of the same content -> near-dup pair
+        lossy = dctq_decode(dctq_encode(px, q=2.0))
+        imgs.append((f"rm{i}x", int(phash64(lossy))))
+    df = spark.createDataFrame(imgs, "image_id string, phash long")
+    pairs = {(r["id_a"], r["id_b"]) for r in SIM.phash_near_dups(df, max_hamming=12).collect()}
+    found_same = sum(1 for i in range(6) if (f"rm{i}", f"rm{i}x") in pairs or (f"rm{i}x", f"rm{i}") in pairs)
+    assert found_same == 6  # <=7-bit flips guaranteed by 8-band index; rest probable
