@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Benchmark driver. Prints ONE JSON line to stdout:
+
+  {"metric": "bench_total_seconds", "value": N, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": 0.1, "crawl": {...}}
+
+Two parts:
+  1. the operator/query suite from film_crawler_spark.queries at
+     $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+     local[$SPARK_GRAFT_CPUS]; each query is forced end-to-end with a
+     noop sink (no count() shortcuts — Catalyst can't prune work).
+  2. the crawl throughput bench: the SAME synthetic crawl (same seeds,
+     same politeness budget) at local[8] and local[32] in separate JVMs
+     (subprocesses), reporting pages/s, images/s, and
+     efficiency = thr(32) / (4 x thr(8)) — the sandbox evidence for the
+     north_rule's N -> 4N >= 0.8 scaling criterion (BASELINE.md).
+
+Diagnostics go to stderr; stdout carries exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_SEEDS", "200"))
+MAX_IMAGES = 120
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_query_suite(sf_dir: str, cpus: int) -> dict:
+    from film_crawler_spark.queries import REGISTRY
+    from film_crawler_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="fcs-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    # one warmup to exclude JVM/Arrow spin-up from the first query's time
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for name, (fn, _sql) in REGISTRY.items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        log(f"[bench] {name}: {timings[name]}s")
+    spark.stop()
+    return timings
+
+
+def crawl_child(cores: int, seeds_n: int, warehouse: str) -> None:
+    """Subprocess body: run the full crawl at local[cores], print stats."""
+    from pyspark.sql import functions as F
+
+    from film_crawler_spark.operators.politeness import PolitenessConfig
+    from film_crawler_spark.plans.crawl_loop import CrawlConfig, run_crawl
+    from film_crawler_spark.session import get_spark
+    from film_crawler_spark.sources.synthetic_site import SiteConfig, make_seed_ids
+    from film_crawler_spark.sources.tableio import TableIO
+
+    spark = get_spark(
+        app_name=f"fcs-crawl-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = CrawlConfig(
+        warehouse=warehouse,
+        site=SiteConfig(max_images_per_title=MAX_IMAGES),
+        # budget fixed regardless of parallelism: scaling efficiency must
+        # measure the engine, not a relaxed politeness budget
+        politeness=PolitenessConfig(budget_html=4096, budget_img=32768),
+        max_iterations=48,
+    )
+    seeds = make_seed_ids(seeds_n)
+    t0 = time.time()
+    run_crawl(spark, seeds, cfg)
+    wall = time.time() - t0
+    io = TableIO(spark, warehouse)
+    flog = io.read_log("fetch_log")
+    pages = flog.filter(F.col("page_kind") != "image_blob").count()
+    blobs = flog.filter(F.col("page_kind") == "image_blob").count()
+    images = io.read_log("images").count()
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "wall_s": round(wall, 2),
+                "pages": pages,
+                "image_blobs": blobs,
+                "images": images,
+                "pages_per_s": round(pages / wall, 2),
+                "images_per_s": round(blobs / wall, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+def run_crawl_bench() -> dict:
+    out = {}
+    for cores in (8, 32):
+        wh = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
+        log(f"[bench] crawl at local[{cores}] ({CRAWL_SEEDS} seeds)...")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-child", str(cores), str(CRAWL_SEEDS), wh],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            cwd=REPO,
+        )
+        if proc.returncode != 0:
+            log(proc.stderr[-3000:])
+            raise RuntimeError(f"crawl child at {cores} cores failed")
+        stats = json.loads(proc.stdout.strip().splitlines()[-1])
+        log(f"[bench] local[{cores}]: {stats}")
+        out[f"local[{cores}]"] = stats
+    n, n4 = out["local[8]"], out["local[32]"]
+    out["scaling_efficiency_pages"] = round(n4["pages_per_s"] / (4 * n["pages_per_s"]), 3)
+    out["scaling_efficiency_images"] = round(n4["images_per_s"] / (4 * n["images_per_s"]), 3)
+    return out
+
+
+def write_bench_md(queries: dict, crawl: dict, sf_dir: str, total: float) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    n, n4 = crawl.get("local[8]", {}), crawl.get("local[32]", {})
+    lines = [
+        "# BENCH — measured results",
+        "",
+        f"Input: `{sf_dir}`; query suite on `local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]`;",
+        f"crawl bench: {CRAWL_SEEDS} seeds, max {MAX_IMAGES} images/title, fixed politeness budget",
+        "(budget_html=4096, budget_img=32768 per host per iteration) at BOTH parallelism levels.",
+        "",
+        "## Scaling (sandbox evidence for the N -> 4N criterion)",
+        "",
+        "| run | wall s | pages | pages/s | image blobs | images/s |",
+        "|---|---|---|---|---|---|",
+        f"| local[8] (N) | {n.get('wall_s')} | {n.get('pages')} | {n.get('pages_per_s')} | {n.get('image_blobs')} | {n.get('images_per_s')} |",
+        f"| local[32] (4N) | {n4.get('wall_s')} | {n4.get('pages')} | {n4.get('pages_per_s')} | {n4.get('image_blobs')} | {n4.get('images_per_s')} |",
+        "",
+        f"**Scaling efficiency**: pages {crawl.get('scaling_efficiency_pages')}, "
+        f"images {crawl.get('scaling_efficiency_images')} (target >= 0.8).",
+        "",
+        "Politeness budgets are independent of parallelism, so the ratio measures",
+        "engine overhead, not budget relaxation (BASELINE.md measurement plan).",
+        "",
+        "## Query suite (seconds, noop-sink forced)",
+        "",
+        "| query | s |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in sorted(queries.items())]
+    lines += ["", f"Total bench wall: {round(total, 1)} s"]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--crawl-child":
+        crawl_child(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        return
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    t0 = time.time()
+    queries = run_query_suite(sf_dir, cpus)
+    crawl = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_CRAWL", "") != "1":
+        crawl = run_crawl_bench()
+    total = time.time() - t0
+    sf = 0.1
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        pass
+    write_bench_md(queries, crawl, sf_dir, total)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "crawl": crawl,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
