@@ -30,7 +30,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_SEEDS", "200"))
+CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_SEEDS", "3000"))
 MAX_IMAGES = 120
 
 
@@ -83,7 +83,7 @@ def crawl_child(cores: int, seeds_n: int, warehouse: str) -> None:
         site=SiteConfig(max_images_per_title=MAX_IMAGES),
         # budget fixed regardless of parallelism: scaling efficiency must
         # measure the engine, not a relaxed politeness budget
-        politeness=PolitenessConfig(budget_html=4096, budget_img=32768),
+        politeness=PolitenessConfig(budget_html=65536, budget_img=524288),
         max_iterations=48,
     )
     seeds = make_seed_ids(seeds_n)
@@ -144,7 +144,7 @@ def write_bench_md(queries: dict, crawl: dict, sf_dir: str, total: float) -> Non
         "",
         f"Input: `{sf_dir}`; query suite on `local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]`;",
         f"crawl bench: {CRAWL_SEEDS} seeds, max {MAX_IMAGES} images/title, fixed politeness budget",
-        "(budget_html=4096, budget_img=32768 per host per iteration) at BOTH parallelism levels.",
+        "(budget_html=65536, budget_img=524288 per host per iteration) at BOTH parallelism levels.",
         "",
         "## Scaling (sandbox evidence for the N -> 4N criterion)",
         "",

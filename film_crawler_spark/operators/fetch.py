@@ -42,50 +42,75 @@ def fetch_batch(
     dequeued: DataFrame,
     site_cfg: SiteConfig,
     pol: PolitenessConfig,
+    media_parallelism: int | None = None,
 ) -> DataFrame:
     """Fetch every dequeued row. Returns frontier columns + status/kind/
     body/n_attempts/budget_denied.
 
-    Partitioning: by host, and sorted (priority, seq) within the
-    partition, so one host's iteration traffic is a single task fetching
-    in exactly the frontier order — which is what makes the per-host
-    inter-request delay and the budget *exact* rather than approximate.
-    This is NOT a skew hazard: the dequeue already capped each host at
-    its politeness budget, so a fetch task is bounded by the budget, not
-    by the (possibly massive) pending skew. Skew handling lives in the
-    dequeue's salted two-phase top-k, where the unbounded data is.
+    Partitioning follows the reference's two-tier politeness model:
+
+    * PAGE fetches sleep per request (reference spiders.py:136), so one
+      host's pages go to ONE task, sorted (priority, seq) — per-host
+      serialization makes the inter-request delay and budget exact. Not
+      a skew hazard: the dequeue already capped each host at its budget,
+      so the task is bounded by the budget, not by pending skew.
+    * MEDIA fetches are unthrottled in the reference (no sleep in the
+      download path, spiders.py:2981-2998), so blob rows spread by URL
+      hash across ``media_parallelism`` partitions — the heavy payload
+      stage scales with the cluster. The per-host media COUNT budget
+      stays exact because the dequeue enforced it globally.
     """
     schema = fetched_schema(dequeued.schema)
     out_cols = [f.name for f in schema.fields]
-    is_media = {"image_blob"}
 
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        site = SyntheticSite(site_cfg)
-        html_bucket = TokenBucket(pol.budget_html, pol.delay_s)
-        img_bucket = TokenBucket(pol.budget_img, 0.0)
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                media = r.page_kind in is_media
-                bucket = img_bucket if media else html_bucket
-                cap = pol.retry_cap_media if media else pol.retry_cap_500
-                if not bucket.try_acquire(r.host):
-                    rows.append((*r, 0, "denied", b"", 0, True))
-                    continue
-                attempt = int(r.attempts) + 1
-                res = site.fetch(r.url, attempt)
-                while res.status == 500 and attempt < cap:
-                    attempt += 1
+    def _make_runner(throttle: bool, retry_cap: int):
+        def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            site = SyntheticSite(site_cfg)
+            bucket = TokenBucket(pol.budget_html, pol.delay_s) if throttle else None
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    if bucket is not None and not bucket.try_acquire(r.host):
+                        rows.append((*r, 0, "denied", b"", 0, True))
+                        continue
+                    attempt = int(r.attempts) + 1
                     res = site.fetch(r.url, attempt)
-                body = res.body if res.body else res.text.encode("utf-8")
-                rows.append((*r, res.status, res.kind, body, attempt, False))
-            yield pd.DataFrame(rows, columns=out_cols)
+                    while res.status == 500 and attempt < retry_cap:
+                        attempt += 1
+                        res = site.fetch(r.url, attempt)
+                    body = res.body if res.body else res.text.encode("utf-8")
+                    rows.append((*r, res.status, res.kind, body, attempt, False))
+                yield pd.DataFrame(rows, columns=out_cols)
 
-    return (
-        dequeued.repartition("host")
-        .sortWithinPartitions("host", "priority", "seq")
-        .mapInPandas(_run, schema)
+        return _run
+
+    if media_parallelism is None:
+        media_parallelism = dequeued.sparkSession.sparkContext.defaultParallelism
+    is_blob = F.col("page_kind") == "image_blob"
+    if pol.delay_s > 0:
+        # rate-limited mode: one host's pages = one task, fetched in exact
+        # (priority, seq) order so the inter-request delay is precise
+        html = (
+            dequeued.filter(~is_blob)
+            .repartition("host")
+            .sortWithinPartitions("host", "priority", "seq")
+            .mapInPandas(_make_runner(True, pol.retry_cap_500), schema)
+        )
+    else:
+        # count-budget-only mode: the dequeue already enforced the exact
+        # per-host budget, and with no delay there is nothing to
+        # serialize — spread pages like media so the stage scales
+        html = (
+            dequeued.filter(~is_blob)
+            .repartition(media_parallelism, "canon_url")
+            .mapInPandas(_make_runner(False, pol.retry_cap_500), schema)
+        )
+    media = (
+        dequeued.filter(is_blob)
+        .repartition(media_parallelism, "canon_url")
+        .mapInPandas(_make_runner(False, pol.retry_cap_media), schema)
     )
+    return html.unionByName(media)
 
 
 def split_outcomes(fetched: DataFrame, pol: PolitenessConfig) -> dict[str, DataFrame]:

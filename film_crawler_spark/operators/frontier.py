@@ -65,27 +65,37 @@ def child_seq(parent_seq: str, ordinal: int) -> str:
 
 def dequeue(
     pending: DataFrame,
-    budget_per_host: int,
+    budget_html: int,
+    budget_img: int,
     n_salts: int = 8,
 ) -> DataFrame:
-    """Exact deterministic top-``budget_per_host`` rows per host by
-    (priority asc, seq asc), two-phase for skew. Adds no columns."""
+    """Exact deterministic per-host top-B by (priority asc, seq asc),
+    two-phase for skew, with per-kind budgets in ONE pass: page fetches
+    and media fetches are separate token pools (the reference throttles
+    pages but not downloads, spiders.py:136 vs 2981-2998), expressed as
+    a window over (host, kind-group) with a kind-dependent cap."""
     cols = pending.columns
     order = [F.col("priority").asc(), F.col("seq").asc()]
-    # phase 1 — per-(host, salt) local top-B (superset, parallel over salts)
-    salted = pending.withColumn("_salt", F.pmod(F.hash("canon_url"), F.lit(n_salts)))
-    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
-    local = (
-        salted.withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") <= budget_per_host)
-        .drop("_rn", "_salt")
-    )
-    # phase 2 — exact per-host top-B over the bounded superset
-    w2 = Window.partitionBy("host").orderBy(*order)
+    grp = (F.col("page_kind") == "image_blob").cast("int")
+    cap = F.when(grp == 1, F.lit(budget_img)).otherwise(F.lit(budget_html))
+    local = pending.withColumn("_grp", grp)
+    if n_salts > 1:
+        # phase 1 — per-(host, grp, salt) local top-B (superset, parallel).
+        # Worth one extra shuffle only when pending is big; the caller
+        # passes n_salts=1 for small frontiers (result is identical —
+        # phase 2 alone is already exact).
+        w1 = Window.partitionBy("host", "_grp", "_salt").orderBy(*order)
+        local = (
+            local.withColumn("_salt", F.pmod(F.hash("canon_url"), F.lit(n_salts)))
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn", "_salt")
+        )
+    # phase 2 — exact per-(host, grp) top-B over the bounded superset
+    w2 = Window.partitionBy("host", "_grp").orderBy(*order)
     return (
         local.withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") <= budget_per_host)
-        .drop("_rn")
+        .filter(F.col("_rn") <= cap)
         .select(*cols)
     )
 

@@ -59,6 +59,11 @@ class CrawlConfig:
     reverse_seeds: bool = True  # reference main.py:23 is_reverse=True
     max_iterations: int = 64
     use_bloom: bool = True
+    # adaptive thresholds: below these sizes the extra shuffle of the
+    # salted dequeue phase / the Bloom pre-probe costs more than it saves
+    # (results are identical either way — these are physical choices)
+    salt_min_pending: int = 200_000
+    bloom_probe_min_seen: int = 2_000_000
 
 
 def init_frontier(spark: SparkSession, seed_ids: list[str], cfg: CrawlConfig) -> DataFrame:
@@ -126,19 +131,24 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     if pending is None:
         raise RuntimeError("frontier not initialized — call run_crawl")
 
+    # driver-side size hints from the previous commit's manifest (free —
+    # no Spark job) drive the adaptive physical choices below
+    prev = io.manifest(it - 1).get("summary", {}) if it - 1 in set(io.committed_iterations()) else {}
+    pending_hint = prev.get("pending_next", prev.get("init_seeds", 0))
+    seen_hint = prev.get("seen_total", 0)
+
     # --- dequeue: per-kind budgets (reference throttles pages, not media) ---
-    html_pending = pending.filter(F.col("page_kind") != "image_blob")
-    img_pending = pending.filter(F.col("page_kind") == "image_blob")
-    dequeued = FR.dequeue(html_pending, pol.budget_html, cfg.n_salts).unionByName(
-        FR.dequeue(img_pending, pol.budget_img, cfg.n_salts)
-    )
+    n_salts = cfg.n_salts if pending_hint >= cfg.salt_min_pending else 1
+    dequeued = FR.dequeue(pending, pol.budget_html, pol.budget_img, n_salts)
 
     # --- fetch (persist: feeds parse x4, metrics, seen delta) ---
     fetched = fetch_batch(dequeued, cfg.site, pol).persist()
     out = split_outcomes(fetched, pol)
     ok = out["ok"]
 
-    # --- parse + discover ---
+    # --- parse + discover (persisted: robots staging, robots_denied and
+    # the frontier write all consume it — without the persist the
+    # mapInPandas discovery pass and its dedup window re-run per consumer)
     discovered = P.discover_links(ok)
     discovered = (
         _dedup_discovered(discovered)
@@ -147,6 +157,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         .withColumn("attempts", F.lit(0))
         .withColumn("discovered_at_iter", F.lit(it))
         .select(*[f.name for f in FR.FRONTIER_SCHEMA.fields])
+        .persist()
     )
 
     # --- robots filter: grow the per-host cache, drop disallowed URLs ---
@@ -154,19 +165,25 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     robots_cache = ROB.update_robots_cache(robots_prev, discovered.select("host"), cfg.site)
     discovered, robots_denied = ROB.split_by_robots(discovered, robots_cache)
 
-    # --- seen filter: committed seen + this iteration's attempts + pending ---
+    # --- seen filter: committed seen + this iteration's attempts + pending
+    # (exactly-once enqueue, T7). leftover derives from the *persisted*
+    # fetch result rather than the dequeued plan so the dequeue windows
+    # run exactly once per iteration.
     seen_exact = io.read_log("seen", upto=it - 1)
     seen_delta = out["seen_delta"]
     all_seen = seen_delta if seen_exact is None else seen_exact.select(*seen_delta.columns).unionByName(seen_delta)
-    bloom_prev = io.read_snapshot("bloom", upto=it - 1) if cfg.use_bloom else None
-    unseen = filter_unseen(discovered, all_seen.select("canon_url"), bloom_set, bloom_prev)
-    # not already pending either (exactly-once enqueue, T7). leftover is
-    # derived from the *persisted* fetch result rather than the dequeued
-    # plan so the two-phase dequeue windows run exactly once per iteration.
     leftover = FR.remaining(pending, fetched)
-    new_rows = unseen.join(leftover.select("canon_url"), "canon_url", "left_anti").select(
-        *[f.name for f in FR.FRONTIER_SCHEMA.fields]
-    )
+    frontier_cols = [f.name for f in FR.FRONTIER_SCHEMA.fields]
+    bloom_prev = io.read_snapshot("bloom", upto=it - 1) if cfg.use_bloom else None
+    if cfg.use_bloom and seen_hint >= cfg.bloom_probe_min_seen:
+        # scale path: Bloom pre-probe shrinks the exact anti-join's probe
+        # side from |discovered| to |maybe-seen|
+        unseen = filter_unseen(discovered, all_seen.select("canon_url"), bloom_set, bloom_prev)
+        new_rows = unseen.join(leftover.select("canon_url"), "canon_url", "left_anti").select(*frontier_cols)
+    else:
+        # small-seen path: one combined anti-join beats probe + two joins
+        exclusions = all_seen.select("canon_url").unionByName(leftover.select("canon_url"))
+        new_rows = discovered.join(exclusions, "canon_url", "left_anti").select(*frontier_cols)
 
     next_pending = leftover.unionByName(out["denied"]).unionByName(new_rows)
 
@@ -203,9 +220,6 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     # ordinary DataFrame writes — this is driver-side concurrency only).
     # `images` is the one dependency: it reads the renditions parquet so
     # the decode+phash pass over blob bytes runs once, not twice.
-    n_fetched = fetched.count()  # materializes the persist before fan-out
-    n_ok = ok.count()
-
     from concurrent.futures import ThreadPoolExecutor
 
     def _stage_images():
@@ -228,7 +242,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         io.stage(images, "images", it)
 
     jobs = [
-        lambda: io.stage(next_pending.repartition("host"), "frontier", it),
+        lambda: io.stage(next_pending, "frontier", it),
         lambda: io.stage(seen_delta, "seen", it),
         lambda: io.stage(titles, "titles", it),
         lambda: io.stage(captions, "captions", it),
@@ -256,7 +270,14 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         for f in futures:
             f.result()  # propagate failures before commit
 
+    # one agg job over the already-materialized cache
+    counts = fetched.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("status") == 200, 1)).alias("n_ok"),
+    ).collect()[0]
+    n_fetched, n_ok = counts["n"], counts["n_ok"]
     fetched.unpersist()
+    discovered.unpersist()
     # counts read back from the committed files (parquet footer reads)
     n_pending_next = io.spark.read.parquet(io._tdir("frontier", it)).count()
     n_images = io.spark.read.parquet(io._tdir("images", it)).count()
@@ -265,6 +286,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         "ok": n_ok,
         "pending_next": n_pending_next,
         "images": n_images,
+        "seen_total": seen_hint + n_fetched,
         "wall_s": round(time.time() - t0, 3),
     }
     io.commit(it, RESULT_TABLES, extra={"summary": summary})

@@ -49,10 +49,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        # binary image rows can be fat; keep Arrow batches bounded by the
-        # record cap above and let AQE handle post-shuffle sizing.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # image rows are fat (tens of KB of binary per row): bound BOTH
+        # batch shapes by ROW COUNT so a batch stays ~20-40 MB —
+        # the default 4096-row columnar batches OOM the vectorized
+        # parquet reader on binary columns (4096 x 20 KB x n_tasks)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
