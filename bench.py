@@ -67,7 +67,7 @@ def crawl_child(cores: int, seeds_n: int, warehouse: str) -> None:
 
     from film_crawler_spark.operators.politeness import PolitenessConfig
     from film_crawler_spark.plans.crawl_loop import CrawlConfig, run_crawl
-    from film_crawler_spark.session import get_spark
+    from film_crawler_spark.session import get_spark, warmup
     from film_crawler_spark.sources.synthetic_site import SiteConfig, make_seed_ids
     from film_crawler_spark.sources.tableio import TableIO
 
@@ -87,6 +87,7 @@ def crawl_child(cores: int, seeds_n: int, warehouse: str) -> None:
         max_iterations=48,
     )
     seeds = make_seed_ids(seeds_n)
+    warmup(spark)  # worker pool spin-up is environment cost, not crawl cost
     t0 = time.time()
     run_crawl(spark, seeds, cfg)
     wall = time.time() - t0

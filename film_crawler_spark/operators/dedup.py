@@ -29,9 +29,12 @@ MERSENNE = (1 << 61) - 1
 
 
 def _perm_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    # a, b < 2^31 and shingle hashes < 2^31 keep a*h + b < 2^62: the
+    # permutation evaluates exactly in uint64 (no object-dtype bigints,
+    # which are ~100x slower per element)
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE, size=n_perm, dtype=np.int64)
-    b = rng.integers(0, MERSENNE, size=n_perm, dtype=np.int64)
+    a = rng.integers(1, 1 << 31, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, 1 << 31, size=n_perm, dtype=np.uint64)
     return a, b
 
 
@@ -63,12 +66,46 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Pairwise Jaccard over word n-gram sets within a blocking key (the
-    classic O(n^2)-within-block comparison; blocks bound the quadratic).
-    Returns (id_a, id_b, jaccard) for id_a < id_b, jaccard >= threshold."""
+    """Pairwise Jaccard over word n-gram sets within a blocking key.
+    Returns (id_a, id_b, jaccard) for id_a < id_b, jaccard >= threshold.
+
+    Physical plan depends on the threshold:
+
+    * threshold > 0 — inverted-index join: explode shingles, equi-join
+      on (block, shingle), count matches per pair (= |A∩B|), then
+      |A∪B| = |A|+|B|-|A∩B|. Only pairs that share at least one shingle
+      are ever materialized, so cost tracks the number of actual
+      near-dups, not the n^2 block pair space. This is the 100 TB plan:
+      the one wide shuffle is groupBy (block, shingle); a stop-shingle
+      cut (drop shingles in > max_df docs) bounds hot-key skew the same
+      way prefix filtering does in set-similarity joins.
+    * threshold == 0 — every block pair must appear (even zero overlap),
+      which only a block self-join can produce; O(n^2)-within-block by
+      construction, kept for completeness/small blocks.
+    """
     sh = docs.select(
         F.col(id_col), F.col(block_col).alias("_blk"), word_shingles(F.col(text_col), n).alias("_sh")
     )
+    if threshold > 0:
+        sizes = sh.select(F.col(id_col).alias("_id"), F.size("_sh").alias("_n"))
+        ex = sh.select(F.col(id_col).alias("_id"), "_blk", F.explode("_sh").alias("_g"))
+        inter = (
+            ex.alias("x")
+            .join(ex.alias("y"), on=["_blk", "_g"])
+            .filter(F.col("x._id") < F.col("y._id"))
+            .groupBy(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+            .agg(F.count("*").alias("_inter"))
+        )
+        return (
+            inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+            .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 6),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_blk"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_blk"), F.col("_sh").alias("sh_b"))
     pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
@@ -101,11 +138,12 @@ def minhash_signatures(
                 words = " ".join(str(text).lower().split()).split(" ")
                 sh = {" ".join(words[i : i + shingle_n]) for i in range(max(1, len(words) - shingle_n + 1))}
                 hv = np.array(
-                    [hash(s) & 0x7FFFFFFFFFFFFFFF for s in sh], dtype=np.int64
+                    [hash(s) & 0x7FFFFFFF for s in sh], dtype=np.uint64
                 )
-                # (a*h + b) mod p, min over shingles, per permutation
+                # (a*h + b) mod p, min over shingles, per permutation —
+                # exact in uint64 because a, b, h are all < 2^31
                 sig = (
-                    (hv[:, None].astype(object) * a_par[None, :] + b_par[None, :]) % MERSENNE
+                    (hv[:, None] * a_par[None, :] + b_par[None, :]) % MERSENNE
                 ).min(axis=0)
                 out.append((did, [int(x) for x in sig]))
             yield pd.DataFrame(out, columns=["id", "sig"])

@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 from film_crawler_spark.functions.images import decode_image, phash64
 from film_crawler_spark.functions.urls import canonicalize_url, n_pages, ori_url, url_host
 from film_crawler_spark.operators.frontier import child_seq
-from film_crawler_spark.sources.synthetic_site import PER_PAGE
+from film_crawler_spark.sources.synthetic_site import PER_PAGE, SECTIONS
 
 # frontier columns the parse UDF emits; url_hash/shard are added JVM-side
 # afterwards (xxhash64/murmur3 must come from Spark so they are the same
@@ -61,6 +61,17 @@ CAPTION_SCHEMA = T.StructType(
         T.StructField("rm", T.StringType()),
         T.StructField("tt", T.StringType()),
         T.StructField("caption", T.StringType()),
+    ]
+)
+
+SECTION_SCHEMA = T.StructType(
+    [
+        T.StructField("tt", T.StringType()),
+        T.StructField("section", T.StringType()),
+        T.StructField("ord", T.IntegerType()),
+        T.StructField("f1", T.StringType()),
+        T.StructField("f2", T.StringType()),
+        T.StructField("f3", T.StringType()),
     ]
 )
 
@@ -98,11 +109,23 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
                 if r.kind == "title":
                     m = _RE_COUNT.search(body)
                     n = int(m.group(1).replace(",", "")) if m else 0
-                    for p in range(1, n_pages(n, PER_PAGE) + 1):
+                    pages = n_pages(n, PER_PAGE)
+                    for p in range(1, pages + 1):
                         u = f"{base}/title/{r.tt}/mediaindex?page={p}"
                         rows.append(
                             (u, canonicalize_url(u), r.host, 1, child_seq(r.seq, p - 1), 1,
                              "mediaindex", r.tt, None)
+                        )
+                    # F6 subpage fan-out (reference spiders.py:310-329):
+                    # section URLs are CONSTRUCTED from the title URL, not
+                    # parsed from links; ordinals continue after the
+                    # mediaindex pages, preserving the reference's
+                    # images-then-sections fetch order (spiders.py:370-442)
+                    for s_i, sec in enumerate(SECTIONS):
+                        u = r.url + sec  # title urls end with '/'
+                        rows.append(
+                            (u, canonicalize_url(u), r.host, 1,
+                             child_seq(r.seq, pages + s_i), 1, "section", r.tt, None)
                         )
                 elif r.kind == "mediaindex":
                     for j, m in enumerate(_RE_GRID.finditer(body)):
@@ -158,6 +181,59 @@ def extract_captions(fetched_ok: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in CAPTION_SCHEMA.fields])
 
     return fetched_ok.filter(F.col("kind") == "photo_detail").mapInPandas(_run, CAPTION_SCHEMA)
+
+
+_RE_SEC_KIND = re.compile(r"data-sec='(\w+)'")
+_RE_SEC_ROW = re.compile(r'<tr class="sec-row"><td>(.*?)</td><td>(.*?)</td><td>(.*?)</td></tr>')
+
+# typed per-section column names — the engine twin of the reference's
+# fixed-schema section CSVs (SURVEY §1.3: keywords.csv, companies.csv,
+# awards.csv, quotes.csv, release.csv, technicals.csv, locations.csv,
+# trivia.csv, summaries.csv, casts.csv)
+SECTION_COLUMNS = {
+    "keywords": ["keyword"],
+    "companies": ["type", "name", "co_id"],
+    "awards": ["title", "ev_id", "award_description"],
+    "quotes": ["character", "text"],
+    "releaseinfo": ["country", "date", "attribute"],
+    "technical": ["label", "value"],
+    "locations": ["type", "value"],
+    "trivia": ["text"],
+    "plotsummary": ["text", "author"],
+    "fullcredits": ["nm_id", "name", "character"],
+}
+
+
+def extract_sections(fetched_ok: DataFrame) -> DataFrame:
+    """Section pages -> tall (tt, section, ord, f1..f3) rows, in page
+    order — one parse pass for the whole §2.11 section family; typed
+    per-section frames come from ``section_view``."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "section":
+                    continue
+                body = r.body.decode("utf-8", "replace")
+                km = _RE_SEC_KIND.search(body)
+                sec = km.group(1) if km else None
+                for i, m in enumerate(_RE_SEC_ROW.finditer(body)):
+                    f1, f2, f3 = (g if g else None for g in m.groups())
+                    rows.append((r.tt, sec, i, f1, f2, f3))
+            yield pd.DataFrame(rows, columns=[f.name for f in SECTION_SCHEMA.fields])
+
+    return fetched_ok.filter(F.col("kind") == "section").mapInPandas(_run, SECTION_SCHEMA)
+
+
+def section_view(sections: DataFrame, sec: str) -> DataFrame:
+    """Typed projection of the tall sections table for one section —
+    column names match the reference CSV schemas (SURVEY §1.3)."""
+    cols = SECTION_COLUMNS[sec]
+    out = sections.filter(F.col("section") == sec).select(
+        "tt", "ord", *[F.col(f"f{i + 1}").alias(c) for i, c in enumerate(cols)]
+    )
+    return out
 
 
 def decode_blobs(fetched_ok: DataFrame) -> DataFrame:

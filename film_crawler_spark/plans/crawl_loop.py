@@ -43,7 +43,7 @@ from film_crawler_spark.sources.synthetic_site import SiteConfig, SyntheticSite
 from film_crawler_spark.sources.tableio import TableIO
 
 RESULT_TABLES = [
-    "frontier", "seen", "bloom", "titles", "captions", "renditions",
+    "frontier", "seen", "bloom", "titles", "captions", "sections", "renditions",
     "images", "dead_letter", "metrics", "fetch_log", "robots", "robots_denied",
 ]
 
@@ -143,6 +143,15 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
 
     # --- fetch (persist: feeds parse x4, metrics, seen delta) ---
     fetched = fetch_batch(dequeued, cfg.site, pol).persist()
+    # materialize the cache EAGERLY (and take the summary counts in the
+    # same job): the staging fan-out below runs ~12 concurrent jobs that
+    # all consume this cache — launched cold, they convoy on the
+    # per-partition cache locks while the first one computes
+    counts = fetched.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("status") == 200, 1)).alias("n_ok"),
+    ).collect()[0]
+    n_fetched, n_ok = counts["n"], counts["n_ok"]
     out = split_outcomes(fetched, pol)
     ok = out["ok"]
 
@@ -159,6 +168,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         .select(*[f.name for f in FR.FRONTIER_SCHEMA.fields])
         .persist()
     )
+    discovered.count()  # same eager-materialization rationale as fetched
 
     # --- robots filter: grow the per-host cache, drop disallowed URLs ---
     robots_prev = io.read_snapshot("robots", upto=it - 1)
@@ -174,8 +184,14 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     all_seen = seen_delta if seen_exact is None else seen_exact.select(*seen_delta.columns).unionByName(seen_delta)
     leftover = FR.remaining(pending, fetched)
     frontier_cols = [f.name for f in FR.FRONTIER_SCHEMA.fields]
-    bloom_prev = io.read_snapshot("bloom", upto=it - 1) if cfg.use_bloom else None
-    if cfg.use_bloom and seen_hint >= cfg.bloom_probe_min_seen:
+    # Bloom maintenance is LAZY: below the probe threshold the bitmap is
+    # neither probed nor updated (a per-iteration cogroup+write bought
+    # nothing); on first crossing the threshold it is rebuilt once from
+    # the full seen log, then maintained incrementally. All decisions
+    # derive from committed manifests, so resume replays them identically.
+    maintain_bloom = cfg.use_bloom and seen_hint >= cfg.bloom_probe_min_seen
+    bloom_prev = io.read_snapshot("bloom", upto=it - 1) if maintain_bloom else None
+    if maintain_bloom and bloom_prev is not None:
         # scale path: Bloom pre-probe shrinks the exact anti-join's probe
         # side from |discovered| to |maybe-seen|
         unseen = filter_unseen(discovered, all_seen.select("canon_url"), bloom_set, bloom_prev)
@@ -190,6 +206,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     # --- results ---
     titles = P.extract_titles(ok).withColumn("iteration", F.lit(it))
     captions = P.extract_captions(ok).withColumn("iteration", F.lit(it))
+    sections = P.extract_sections(ok).withColumn("iteration", F.lit(it))
     renditions = P.decode_blobs(ok).withColumn("iteration", F.lit(it))
 
     metrics = (
@@ -222,6 +239,8 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     # the decode+phash pass over blob bytes runs once, not twice.
     from concurrent.futures import ThreadPoolExecutor
 
+    post_counts: dict[str, int] = {}
+
     def _stage_images():
         io.stage(renditions, "renditions", it)
         renditions_staged = spark.read.parquet(io._tdir("renditions", it))
@@ -240,47 +259,58 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
             .withColumn("iteration", F.lit(it))
         )
         io.stage(images, "images", it)
+        # footer-metadata count inside this thread: overlaps with the
+        # other staging jobs instead of a serial job after the barrier
+        post_counts["images"] = spark.read.parquet(io._tdir("images", it)).count()
+
+    def _stage_frontier():
+        io.stage(next_pending, "frontier", it)
+        post_counts["pending_next"] = spark.read.parquet(io._tdir("frontier", it)).count()
 
     jobs = [
-        lambda: io.stage(next_pending, "frontier", it),
-        lambda: io.stage(seen_delta, "seen", it),
-        lambda: io.stage(titles, "titles", it),
-        lambda: io.stage(captions, "captions", it),
-        lambda: io.stage(out["dead"], "dead_letter", it),
-        lambda: io.stage(metrics, "metrics", it),
-        lambda: io.stage(fetch_log, "fetch_log", it),
-        lambda: io.stage(robots_cache, "robots", it),
-        lambda: io.stage(
+        ("frontier", _stage_frontier),
+        ("seen", lambda: io.stage(seen_delta, "seen", it)),
+        ("titles", lambda: io.stage(titles, "titles", it)),
+        ("captions", lambda: io.stage(captions, "captions", it)),
+        ("sections", lambda: io.stage(sections, "sections", it)),
+        ("dead_letter", lambda: io.stage(out["dead"], "dead_letter", it)),
+        ("metrics", lambda: io.stage(metrics, "metrics", it)),
+        ("fetch_log", lambda: io.stage(fetch_log, "fetch_log", it)),
+        ("robots", lambda: io.stage(robots_cache, "robots", it)),
+        ("robots_denied", lambda: io.stage(
             robots_denied.select("canon_url", "host", "page_kind").withColumn(
                 "iteration", F.lit(it)
             ),
             "robots_denied",
             it,
-        ),
-        _stage_images,
+        )),
+        ("images", _stage_images),
     ]
-    if cfg.use_bloom:
+    if maintain_bloom:
+        # incremental merge normally; full rebuild from the seen log the
+        # first time the threshold is crossed (bloom_prev is None then)
+        bloom_src = seen_delta if bloom_prev is not None else all_seen
         jobs.append(
-            lambda: io.stage(
-                bloom_set.merge(bloom_prev, seen_delta.select("shard", "url_hash")), "bloom", it
-            )
+            ("bloom", lambda: io.stage(
+                bloom_set.merge(bloom_prev, bloom_src.select("shard", "url_hash")), "bloom", it
+            ))
         )
+    stage_s: dict[str, float] = {}
+
+    def _timed(name, fn):
+        t = time.time()
+        fn()
+        stage_s[name] = round(time.time() - t, 2)
+
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-        futures = [pool.submit(j) for j in jobs]
+        futures = [pool.submit(_timed, name, fn) for name, fn in jobs]
         for f in futures:
             f.result()  # propagate failures before commit
 
-    # one agg job over the already-materialized cache
-    counts = fetched.agg(
-        F.count("*").alias("n"),
-        F.count(F.when(F.col("status") == 200, 1)).alias("n_ok"),
-    ).collect()[0]
-    n_fetched, n_ok = counts["n"], counts["n_ok"]
     fetched.unpersist()
     discovered.unpersist()
-    # counts read back from the committed files (parquet footer reads)
-    n_pending_next = io.spark.read.parquet(io._tdir("frontier", it)).count()
-    n_images = io.spark.read.parquet(io._tdir("images", it)).count()
+    n_pending_next = post_counts["pending_next"]
+    n_images = post_counts["images"]
     summary = {
         "fetched": n_fetched,
         "ok": n_ok,
@@ -288,6 +318,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         "images": n_images,
         "seen_total": seen_hint + n_fetched,
         "wall_s": round(time.time() - t0, 3),
+        "stage_s": stage_s,
     }
     io.commit(it, RESULT_TABLES, extra={"summary": summary})
     return summary

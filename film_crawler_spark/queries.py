@@ -508,8 +508,10 @@ FROM s
 
 
 def q_ngram_jaccard_pairs(spark, sf):
-    """Blocked n-gram Jaccard near-dup pairs (word trigrams, block=source)."""
-    return D.ngram_jaccard_pairs(t(spark, sf, "documents"), block_col="source", n=3, threshold=0.0)
+    """Blocked n-gram Jaccard near-dup pairs (word trigrams, block=source,
+    jaccard >= 0.2). threshold > 0 selects the inverted-index physical
+    plan (cost ~ #actual near-dups, not n^2 block pairs)."""
+    return D.ngram_jaccard_pairs(t(spark, sf, "documents"), block_col="source", n=3, threshold=0.2)
 
 
 SQL_NGRAM_JACCARD_PAIRS = r"""
@@ -522,9 +524,11 @@ sh AS (
          list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
                                       i -> array_to_string(words[i:i+2], ' '))) AS sh
   FROM w)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+WHERE jaccard >= 0.2
 """
 
 

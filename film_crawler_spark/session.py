@@ -14,6 +14,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def engine_conf(shuffle_partitions: int | str = "32") -> dict[str, str]:
+    """The engine's standard Spark configuration, usable both from
+    get_spark() and from an externally-owned session (spark-submit)."""
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # image rows are fat (tens of KB of binary per row): bound BOTH
+        # batch shapes by ROW COUNT so a batch stays ~20-40 MB — the
+        # default 4096-row columnar batches OOM the vectorized parquet
+        # reader on binary columns (4096 x 20 KB x n_tasks)
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+        "spark.sql.parquet.columnarReaderBatchSize": "512",
+        "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    }
+
+
 def get_spark(
     app_name: str = "film_crawler_spark",
     master: str | None = None,
@@ -43,22 +63,30 @@ def get_spark(
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # image rows are fat (tens of KB of binary per row): bound BOTH
-        # batch shapes by ROW COUNT so a batch stays ~20-40 MB —
-        # the default 4096-row columnar batches OOM the vectorized
-        # parquet reader on binary columns (4096 x 20 KB x n_tasks)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    for k, v in engine_conf(shuffle_partitions).items():
+        b = b.config(k, v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def warmup(spark: SparkSession) -> None:
+    """Pre-fork the Python worker pool and JIT the Arrow serialization
+    path: one trivial mapInPandas task per core. On a real cluster the
+    executors and their worker pools are long-lived across jobs; in a
+    fresh local JVM the first Python stage otherwise pays worker fork +
+    pandas import once per core, which belongs to environment spin-up,
+    not to crawl throughput (bench calls this before starting its clock,
+    like the query-suite warmup)."""
+    n = spark.sparkContext.defaultParallelism
+
+    def _noop(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(n * 8).repartition(n).mapInPandas(_noop, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 from film_crawler_spark.functions.urls import canonicalize_url, n_pages, ori_url, url_host
 from film_crawler_spark.operators.frontier import child_seq, seed_seq
 from film_crawler_spark.operators.politeness import PolitenessConfig
-from film_crawler_spark.sources.synthetic_site import PER_PAGE, SiteConfig, SyntheticSite
+from film_crawler_spark.sources.synthetic_site import PER_PAGE, SECTIONS, SiteConfig, SyntheticSite
 
 _RE_COUNT = re.compile(r'class="image-count">([\d,]+) Photos')
 _RE_GRID = re.compile(r'href="(/title/(tt\d+)/mediaviewer/(rm\d+))"')
@@ -52,6 +52,7 @@ class SimTrace:
     dead: list  # (canon, status)
     images: dict  # rm -> {"captions": str, "renditions": {size: nbytes}}
     titles: dict  # tt -> n_images
+    sections: dict = field(default_factory=dict)  # (tt, sec) -> [(f1, f2, f3)]
 
 
 def simulate(
@@ -85,6 +86,7 @@ def simulate(
     dead: list = []
     images: dict = {}
     titles: dict = {}
+    sections: dict = {}
 
     for _ in range(max_iterations):
         if not pending:
@@ -125,12 +127,24 @@ def simulate(
                     m = _RE_COUNT.search(res.text)
                     n = int(m.group(1).replace(",", "")) if m else 0
                     titles[r.tt] = n
-                    for p in range(1, n_pages(n, PER_PAGE) + 1):
+                    pages = n_pages(n, PER_PAGE)
+                    for p in range(1, pages + 1):
                         u = f"{base}/title/{r.tt}/mediaindex?page={p}"
                         discovered.append(
                             SimRow(1, child_seq(r.seq, p - 1), u, canonicalize_url(u),
                                    r.host, 1, "mediaindex", r.tt)
                         )
+                    for s_i, sec in enumerate(SECTIONS):
+                        u = r.url + sec
+                        discovered.append(
+                            SimRow(1, child_seq(r.seq, pages + s_i), u, canonicalize_url(u),
+                                   r.host, 1, "section", r.tt)
+                        )
+                elif res.kind == "section":
+                    # ground truth straight from the site (NOT the engine's
+                    # parser) — engine-parsed rows must equal these
+                    sec = res.meta["sec"]
+                    sections[(r.tt, sec)] = site.section_rows(r.tt, sec)
                 elif res.kind == "mediaindex":
                     for j, m in enumerate(_RE_GRID.finditer(res.text)):
                         u = base + m.group(1)
@@ -171,4 +185,4 @@ def simulate(
         pending.extend(new)
         per_iteration.append(it_order)
 
-    return SimTrace(fetch_order, per_iteration, seen, dead, images, titles)
+    return SimTrace(fetch_order, per_iteration, seen, dead, images, titles, sections)

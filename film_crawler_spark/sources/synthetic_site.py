@@ -36,6 +36,16 @@ from film_crawler_spark.functions.urls import murmur3_x86_32
 
 PER_PAGE = 48  # reference spiders.py:177 PER_PAGE_OF_IMG
 
+# F6 subpage fan-out: each crawled title also fetches its section pages
+# (reference spiders.py:310-329 builds 20 such URLs per title; this world
+# models 10 of them — the ones whose extractions SURVEY §1.3 lists as
+# fixed-schema CSVs). Order matters: it is the reference's construction
+# order, and section ordinals continue after the mediaindex page ordinals.
+SECTIONS = [
+    "keywords", "companies", "awards", "quotes", "releaseinfo",
+    "technical", "locations", "trivia", "plotsummary", "fullcredits",
+]
+
 ADJ = ["Silent", "Crimson", "Golden", "Broken", "Electric", "Midnight", "Paper", "Iron", "Hollow", "Distant"]
 NOUN = ["Horizon", "Garden", "Station", "River", "Mirror", "Harvest", "Signal", "Empire", "Voyage", "Letter"]
 
@@ -209,6 +219,59 @@ class SyntheticSite:
             f"</body></html>"
         )
 
+    # -- section pages (reference F6 subpage fan-out, spiders.py:310-329) ----
+
+    def section_rows(self, tt: str, sec: str) -> list[tuple]:
+        """Ground-truth rows for a title's section page, (f1, f2, f3)
+        tuples — the deterministic stand-ins for the reference's section
+        extractions (keywords/companies/awards/... CSVs, SURVEY §1.3).
+        Tests compare the engine's *parsed* rows against these."""
+        h = _h(f"{self.cfg.seed}:sec:{tt}:{sec}")
+        n = h % 7  # 0..6 rows; some sections legitimately empty
+        rows = []
+        for i in range(n):
+            g = _h(f"{self.cfg.seed}:sec:{tt}:{sec}:{i}")
+            a, b_ = ADJ[g % 10], NOUN[(g >> 4) % 10]
+            if sec == "keywords":
+                rows.append((f"{a.lower()}-{b_.lower()}", None, None))
+            elif sec == "companies":
+                rows.append((["production", "distributor", "special effects", "other"][g % 4],
+                             f"{a} {b_} Pictures", f"co{g % 10**7:07d}"))
+            elif sec == "awards":
+                rows.append((f"{a} Award", f"ev{g % 10**7:07d}", f"Best {b_}"))
+            elif sec == "quotes":
+                rows.append((f"{a} {b_}", f"We all remember the {b_.lower()} of {1900 + g % 126}.", None))
+            elif sec == "releaseinfo":
+                rows.append((["USA", "France", "Germany", "Japan", "Brazil"][g % 5],
+                             f"{1970 + g % 50}-{1 + (g >> 8) % 12:02d}-{1 + (g >> 13) % 28:02d}",
+                             ["premiere", None, "festival"][g % 3]))
+            elif sec == "technical":
+                rows.append((["Runtime", "Sound Mix", "Color", "Aspect Ratio", "Camera"][g % 5],
+                             f"{a} {g % 300}", None))
+            elif sec == "locations":
+                rows.append((["studio", "on location"][g % 2], f"{b_} City, {a}land", None))
+            elif sec == "trivia":
+                rows.append((f"The {b_.lower()} scene took {1 + g % 40} takes.", None, None))
+            elif sec == "plotsummary":
+                rows.append((f"A {a.lower()} tale of the {b_.lower()}.", f"{a} {b_}", None))
+            elif sec == "fullcredits":
+                rows.append((f"nm{g % 10**7:07d}", f"{a} {b_}", f"The {NOUN[(g >> 9) % 10]}"))
+        return rows
+
+    def _section_body(self, tt: str, sec: str) -> str:
+        cells = []
+        for f1, f2, f3 in self.section_rows(tt, sec):
+            cells.append(
+                f'<tr class="sec-row"><td>{f1 if f1 is not None else ""}</td>'
+                f"<td>{f2 if f2 is not None else ''}</td>"
+                f"<td>{f3 if f3 is not None else ''}</td></tr>"
+            )
+        return (
+            f"<html><body data-kind='section' data-sec='{sec}'>\n<table>\n"
+            + "\n".join(cells)
+            + "\n</table></body></html>"
+        )
+
     # -- the resolver ----------------------------------------------------------
 
     def fetch(self, url: str, attempt: int = 1) -> FetchResult:
@@ -223,6 +286,12 @@ class SyntheticSite:
         m = re.search(r"/title/(tt\d+)/mediaviewer/(rm\d+)", url)
         if m:
             return FetchResult(200, "photo_detail", text=self._photo_detail_body(m.group(1), m.group(2)))
+        m = re.search(r"/title/(tt\d+)/(" + "|".join(SECTIONS) + r")$", url)
+        if m:
+            return FetchResult(
+                200, "section", text=self._section_body(m.group(1), m.group(2)),
+                meta={"sec": m.group(2)},
+            )
         m = re.search(r"/title/(tt\d+)/mediaindex\?page=(\d+)", url)
         if m:
             return FetchResult(200, "mediaindex", text=self._mediaindex_body(m.group(1), int(m.group(2))))

@@ -37,8 +37,15 @@ def main() -> None:
     from film_crawler_spark.plans.crawl_loop import CrawlConfig, run_crawl
     from film_crawler_spark.sources.synthetic_site import SiteConfig, make_seed_ids
 
-    spark = SparkSession.builder.appName("film_crawler_spark").getOrCreate()
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from film_crawler_spark.session import engine_conf
+
+    # spark-submit owns the master; the engine contributes its standard
+    # conf (AQE, Arrow batch shapes, shuffle partitions) BEFORE session
+    # creation so it applies under --py-files deployment too
+    b = SparkSession.builder.appName("film_crawler_spark")
+    for k, v in engine_conf().items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
 
     if args.seed_file:
         # reference seed semantics: tab-sep CSV, column 0, no header

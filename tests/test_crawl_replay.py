@@ -112,6 +112,24 @@ def test_titles_match(crawled, sim):
     assert {r["tt"]: r["n_images"] for r in rows} == sim.titles
 
 
+def test_sections_match_ground_truth(crawled, sim):
+    """F6 fan-out + §2.11 section parsers: every fetched section page's
+    parsed rows equal the site's ground-truth rows, in page order."""
+    from film_crawler_spark.operators.parse import SECTION_COLUMNS, section_view
+
+    rows = crawled.read_log("sections").collect()
+    engine: dict = {}
+    for r in sorted(rows, key=lambda r: r["ord"]):
+        engine.setdefault((r["tt"], r["section"]), []).append((r["f1"], r["f2"], r["f3"]))
+    sim_nonempty = {k: v for k, v in sim.sections.items() if v}
+    assert engine == sim_nonempty
+    # typed views expose the reference CSV schemas (keywords.csv, ...)
+    sec_df = crawled.read_log("sections")
+    for sec, cols in SECTION_COLUMNS.items():
+        v = section_view(sec_df, sec)
+        assert v.columns == ["tt", "ord"] + cols
+
+
 def test_metrics_lineage_present(crawled):
     m = crawled.read_log("metrics")
     assert {"iteration", "partition_id", "host", "kind", "status", "pages", "bytes"} <= set(m.columns)
