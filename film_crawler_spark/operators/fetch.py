@@ -22,16 +22,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from film_crawler_spark.functions.images import decode_image, phash64
 from film_crawler_spark.operators.politeness import PolitenessConfig, TokenBucket
 from film_crawler_spark.sources.synthetic_site import SiteConfig, SyntheticSite
 
+# Blob rows carry their decoded metadata out of the SAME fetch pass:
+# the bytes are already in Python memory here, so decoding costs one
+# in-place pass; a separate decode stage would ship every body across
+# the Arrow boundary a second time (measured: the second crossing +
+# cache-scan GC cost ~3x the decode itself at media-heavy iterations).
 FETCHED_EXTRA = [
     T.StructField("status", T.IntegerType()),
     T.StructField("kind", T.StringType()),
     T.StructField("body", T.BinaryType()),
     T.StructField("n_attempts", T.IntegerType()),
     T.StructField("budget_denied", T.BooleanType()),
+    T.StructField("rendition", T.StringType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("phash", T.LongType()),
 ]
+NON_FRONTIER_COLS = tuple(f.name for f in FETCHED_EXTRA)
 
 
 def fetched_schema(frontier_schema: T.StructType) -> T.StructType:
@@ -71,7 +83,7 @@ def fetch_batch(
                 rows = []
                 for r in pdf.itertuples(index=False):
                     if bucket is not None and not bucket.try_acquire(r.host):
-                        rows.append((*r, 0, "denied", b"", 0, True))
+                        rows.append((*r, 0, "denied", b"", 0, True, None, None, None, None, None))
                         continue
                     attempt = int(r.attempts) + 1
                     res = site.fetch(r.url, attempt)
@@ -79,7 +91,17 @@ def fetch_batch(
                         attempt += 1
                         res = site.fetch(r.url, attempt)
                     body = res.body if res.body else res.text.encode("utf-8")
-                    rows.append((*r, res.status, res.kind, body, attempt, False))
+                    rendition = w = h = fmt = ph = None
+                    if res.status == 200 and res.kind == "image_blob":
+                        rendition = res.meta.get("size")
+                        try:
+                            px, fmt = decode_image(body)
+                            h, w = int(px.shape[0]), int(px.shape[1])
+                            ph = phash64(px)
+                        except ValueError:
+                            fmt = None  # undecodable payload -> dropped by the renditions filter
+                    rows.append((*r, res.status, res.kind, body, attempt, False,
+                                 rendition, w, h, fmt, ph))
                 yield pd.DataFrame(rows, columns=out_cols)
 
         return _run
@@ -120,18 +142,20 @@ def split_outcomes(fetched: DataFrame, pol: PolitenessConfig) -> dict[str, DataF
     never re-tried — its directory check 'exists', spiders.py:304-308,
     because partial output was written; we model terminal = attempted)."""
     attempted = fetched.filter(~F.col("budget_denied"))
+    frontier_cols = [
+        f.name for f in fetched.schema.fields if f.name not in NON_FRONTIER_COLS
+    ]
     return {
         "ok": attempted.filter(F.col("status") == 200),
+        # the dead-letter row carries the FULL frontier identity (the
+        # engine's remain.csv, reference spiders.py:2862-2872): repair
+        # re-enqueues these rows directly, preserving priority/seq so the
+        # replay order of a repair run is as deterministic as the crawl's
         "dead": attempted.filter(F.col("status") != 200).select(
-            F.col("canon_url").alias("url"),
-            F.col("page_kind").alias("kind"),
+            *[c for c in frontier_cols if c != "attempts"],
             F.col("n_attempts").alias("attempts"),
             F.concat(F.lit("http_"), F.col("status")).alias("last_error"),
-            F.col("discovered_at_iter").alias("iteration"),
         ),
         "seen_delta": attempted.select("canon_url", "url_hash", "shard", "host", "status"),
-        "denied": fetched.filter(F.col("budget_denied")).select(
-            *[f.name for f in fetched.schema.fields if f.name not in
-              ("status", "kind", "body", "n_attempts", "budget_denied")]
-        ),
+        "denied": fetched.filter(F.col("budget_denied")).select(*frontier_cols),
     }

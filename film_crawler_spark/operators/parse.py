@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from film_crawler_spark.functions.images import decode_image, phash64
 from film_crawler_spark.functions.urls import canonicalize_url, n_pages, ori_url, url_host
 from film_crawler_spark.operators.frontier import child_seq
 from film_crawler_spark.sources.synthetic_site import PER_PAGE, SECTIONS
@@ -97,7 +96,13 @@ _RE_SIZE_SPEC = re.compile(r"\.(UX32_CR0|UX96_CR0)\.")
 
 
 def discover_links(fetched_ok: DataFrame) -> DataFrame:
-    """All kinds -> newly discovered frontier rows (F1/F5/F7 fan-outs)."""
+    """All kinds -> newly discovered frontier rows (F1/F5/F7 fan-outs).
+
+    Blob rows are filtered JVM-side BEFORE the Arrow boundary: leaves of
+    the crawl graph discover nothing, and their binary bodies are the
+    bulk of the fetched bytes — shipping them into Python here would
+    dominate the discovery pass at media-heavy iterations."""
+    fetched_ok = fetched_ok.filter(F.col("kind") != "image_blob")
     cols = [f.name for f in DISCOVERED_SCHEMA.fields]
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -127,6 +132,15 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
                             (u, canonicalize_url(u), r.host, 1,
                              child_seq(r.seq, pages + s_i), 1, "section", r.tt, None)
                         )
+                    # reviews: ONE crawl URL per title; the load-more
+                    # cursor loop lives in the resolver (S5 semantics —
+                    # reference spiders.py:1508-1564 drives one browser
+                    # page, so the seen set holds one URL)
+                    u = r.url + "reviews"
+                    rows.append(
+                        (u, canonicalize_url(u), r.host, 1,
+                         child_seq(r.seq, pages + len(SECTIONS)), 1, "reviews", r.tt, None)
+                    )
                 elif r.kind == "mediaindex":
                     for j, m in enumerate(_RE_GRID.finditer(body)):
                         u = base + m.group(1)
@@ -183,6 +197,54 @@ def extract_captions(fetched_ok: DataFrame) -> DataFrame:
     return fetched_ok.filter(F.col("kind") == "photo_detail").mapInPandas(_run, CAPTION_SCHEMA)
 
 
+REVIEW_SCHEMA = T.StructType(
+    [
+        T.StructField("tt", T.StringType()),
+        T.StructField("ord", T.IntegerType()),
+        T.StructField("review_id", T.StringType()),
+        T.StructField("rating", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("action", T.StringType()),
+    ]
+)
+
+_RE_REVIEW = re.compile(
+    r'<div class="review" data-id="(rw\d+)"><span class="rv-rating">(.*?)</span>'
+    r'<span class="rv-title">(.*?)</span><span class="rv-name">(.*?)</span>'
+    r'<span class="rv-date">(.*?)</span><p class="rv-text">(.*?)</p>'
+    r'<span class="rv-action">(.*?)</span></div>'
+)
+_RE_LOADED_ALL = re.compile(r"class='loaded-all'")
+
+
+def extract_reviews(fetched_ok: DataFrame) -> DataFrame:
+    """getEachReview twin (reference spiders.py:1566-1597, 4491-4528):
+    reviews.csv columns (rating, title, name, ID, date, text, action).
+    The loaded-all marker (reference's termination condition,
+    spiders.py:1544-1549) must be present — a truncated page (load-more
+    loop interrupted) yields NO rows so the retry policy re-fetches
+    rather than committing a partial list."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "reviews":
+                    continue
+                body = r.body.decode("utf-8", "replace")
+                if not _RE_LOADED_ALL.search(body):
+                    continue
+                for i, m in enumerate(_RE_REVIEW.finditer(body)):
+                    rid, rating, title, name, date, text, action = m.groups()
+                    rows.append((r.tt, i, rid, rating, title, name, date, text, action))
+            yield pd.DataFrame(rows, columns=[f.name for f in REVIEW_SCHEMA.fields])
+
+    return fetched_ok.filter(F.col("kind") == "reviews").mapInPandas(_run, REVIEW_SCHEMA)
+
+
 _RE_SEC_KIND = re.compile(r"data-sec='(\w+)'")
 _RE_SEC_ROW = re.compile(r'<tr class="sec-row"><td>(.*?)</td><td>(.*?)</td><td>(.*?)</td></tr>')
 
@@ -237,26 +299,16 @@ def section_view(sections: DataFrame, sec: str) -> DataFrame:
 
 
 def decode_blobs(fetched_ok: DataFrame) -> DataFrame:
-    """image_blob bytes -> decoded metadata + phash (input_hint columns)."""
-
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "image_blob":
-                    continue
-                m = _RE_SIZE_SPEC.search(r.url)
-                rendition = {"UX32_CR0": "small", "UX96_CR0": "large"}.get(
-                    m.group(1) if m else None, "ori"
-                )
-                try:
-                    px, fmt = decode_image(bytes(r.body))
-                except ValueError:
-                    continue
-                rows.append(
-                    (r.rm, r.tt, rendition, bytes(r.body), px.shape[1], px.shape[0], fmt,
-                     phash64(px))
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in RENDITION_SCHEMA.fields])
-
-    return fetched_ok.filter(F.col("kind") == "image_blob").mapInPandas(_run, RENDITION_SCHEMA)
+    """image_blob rows -> renditions (input_hint columns). Pure JVM
+    projection: the decode + phash already happened inside the fetch
+    pass (operators/fetch.py), where the bytes were in Python memory
+    anyway — re-crossing the Arrow boundary here would double the
+    heaviest data movement of a media iteration."""
+    return (
+        fetched_ok.filter((F.col("kind") == "image_blob") & F.col("fmt").isNotNull())
+        .select(
+            "rm", "tt", "rendition",
+            F.col("body").alias("bytes"),
+            "w", "h", "fmt", "phash",
+        )
+    )

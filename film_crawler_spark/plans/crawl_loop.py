@@ -43,8 +43,9 @@ from film_crawler_spark.sources.synthetic_site import SiteConfig, SyntheticSite
 from film_crawler_spark.sources.tableio import TableIO
 
 RESULT_TABLES = [
-    "frontier", "seen", "bloom", "titles", "captions", "sections", "renditions",
-    "images", "dead_letter", "metrics", "fetch_log", "robots", "robots_denied",
+    "frontier", "seen", "bloom", "titles", "captions", "sections", "reviews",
+    "renditions", "images", "dead_letter", "metrics", "fetch_log", "robots",
+    "robots_denied",
 ]
 
 
@@ -152,15 +153,15 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         F.count(F.when(F.col("status") == 200, 1)).alias("n_ok"),
     ).collect()[0]
     n_fetched, n_ok = counts["n"], counts["n_ok"]
+    t_fetch = round(time.time() - t0, 2)
     out = split_outcomes(fetched, pol)
     ok = out["ok"]
 
     # --- parse + discover (persisted: robots staging, robots_denied and
     # the frontier write all consume it — without the persist the
     # mapInPandas discovery pass and its dedup window re-run per consumer)
-    discovered = P.discover_links(ok)
-    discovered = (
-        _dedup_discovered(discovered)
+    discovered_all = (
+        _dedup_discovered(P.discover_links(ok))
         .withColumn("url_hash", F.xxhash64("canon_url"))
         .withColumn("shard", bloom_set.shard_col(F.col("canon_url")))
         .withColumn("attempts", F.lit(0))
@@ -168,12 +169,21 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         .select(*[f.name for f in FR.FRONTIER_SCHEMA.fields])
         .persist()
     )
-    discovered.count()  # same eager-materialization rationale as fetched
+    t1 = time.time()
+    discovered_all.count()  # same eager-materialization rationale as fetched
+    t_discover = round(time.time() - t1, 2)
 
-    # --- robots filter: grow the per-host cache, drop disallowed URLs ---
+    # --- robots filter: grow the per-host cache, drop disallowed URLs.
+    # The cache is persisted + materialized because it appears as a
+    # broadcast subplan (with a Python robots-fetch stage) inside SEVERAL
+    # staging jobs — broadcast exchanges are not reused across jobs, so
+    # an unmaterialized cache would re-run that subplan per consumer.
     robots_prev = io.read_snapshot("robots", upto=it - 1)
-    robots_cache = ROB.update_robots_cache(robots_prev, discovered.select("host"), cfg.site)
-    discovered, robots_denied = ROB.split_by_robots(discovered, robots_cache)
+    robots_cache = ROB.update_robots_cache(
+        robots_prev, discovered_all.select("host"), cfg.site
+    ).persist()
+    robots_cache.count()
+    discovered, robots_denied = ROB.split_by_robots(discovered_all, robots_cache)
 
     # --- seen filter: committed seen + this iteration's attempts + pending
     # (exactly-once enqueue, T7). leftover derives from the *persisted*
@@ -207,6 +217,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     titles = P.extract_titles(ok).withColumn("iteration", F.lit(it))
     captions = P.extract_captions(ok).withColumn("iteration", F.lit(it))
     sections = P.extract_sections(ok).withColumn("iteration", F.lit(it))
+    reviews = P.extract_reviews(ok).withColumn("iteration", F.lit(it))
     renditions = P.decode_blobs(ok).withColumn("iteration", F.lit(it))
 
     metrics = (
@@ -242,16 +253,22 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     post_counts: dict[str, int] = {}
 
     def _stage_images():
+        t_r = time.time()
         io.stage(renditions, "renditions", it)
-        renditions_staged = spark.read.parquet(io._tdir("renditions", it))
+        stage_s["renditions"] = round(time.time() - t_r, 2)
         # flagship images table (input_hint shape): ori rendition +
         # caption. Captions parse one depth earlier, so by blob-fetch time
         # the caption is committed (or in this very iteration's delta).
+        # The caption side is BROADCAST explicitly: its plan ends in a
+        # Python UDF (no stats), so Catalyst would otherwise pick a
+        # sort-merge join and shuffle the fat binary side — measured as a
+        # ~1 GB shuffle of blob bytes per media iteration. Never move the
+        # bytes: captions are bounded by the per-iteration page budget.
         caps_all = io.read_log("captions", upto=it - 1)
         caps_all_u = captions if caps_all is None else caps_all.unionByName(captions)
         images = (
-            renditions_staged.filter(F.col("rendition") == "ori")
-            .join(caps_all_u.select("rm", "caption"), "rm", "left")
+            renditions.filter(F.col("rendition") == "ori")
+            .join(F.broadcast(caps_all_u.select("rm", "caption")), "rm", "left")
             .select(
                 F.col("rm").alias("image_id"), "bytes", "w", "h", "fmt",
                 F.col("caption"), "phash",
@@ -273,7 +290,9 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         ("titles", lambda: io.stage(titles, "titles", it)),
         ("captions", lambda: io.stage(captions, "captions", it)),
         ("sections", lambda: io.stage(sections, "sections", it)),
-        ("dead_letter", lambda: io.stage(out["dead"], "dead_letter", it)),
+        ("reviews", lambda: io.stage(reviews, "reviews", it)),
+        ("dead_letter", lambda: io.stage(
+            out["dead"].withColumn("iteration", F.lit(it)), "dead_letter", it)),
         ("metrics", lambda: io.stage(metrics, "metrics", it)),
         ("fetch_log", lambda: io.stage(fetch_log, "fetch_log", it)),
         ("robots", lambda: io.stage(robots_cache, "robots", it)),
@@ -308,7 +327,8 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
             f.result()  # propagate failures before commit
 
     fetched.unpersist()
-    discovered.unpersist()
+    discovered_all.unpersist()
+    robots_cache.unpersist()
     n_pending_next = post_counts["pending_next"]
     n_images = post_counts["images"]
     summary = {
@@ -318,6 +338,8 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         "images": n_images,
         "seen_total": seen_hint + n_fetched,
         "wall_s": round(time.time() - t0, 3),
+        "fetch_s": t_fetch,
+        "discover_s": t_discover,
         "stage_s": stage_s,
     }
     io.commit(it, RESULT_TABLES, extra={"summary": summary})

@@ -53,6 +53,7 @@ class SimTrace:
     images: dict  # rm -> {"captions": str, "renditions": {size: nbytes}}
     titles: dict  # tt -> n_images
     sections: dict = field(default_factory=dict)  # (tt, sec) -> [(f1, f2, f3)]
+    reviews: dict = field(default_factory=dict)  # tt -> [review tuples]
 
 
 def simulate(
@@ -87,6 +88,7 @@ def simulate(
     images: dict = {}
     titles: dict = {}
     sections: dict = {}
+    reviews: dict = {}
 
     for _ in range(max_iterations):
         if not pending:
@@ -140,6 +142,13 @@ def simulate(
                             SimRow(1, child_seq(r.seq, pages + s_i), u, canonicalize_url(u),
                                    r.host, 1, "section", r.tt)
                         )
+                    u = r.url + "reviews"
+                    discovered.append(
+                        SimRow(1, child_seq(r.seq, pages + len(SECTIONS)), u,
+                               canonicalize_url(u), r.host, 1, "reviews", r.tt)
+                    )
+                elif res.kind == "reviews":
+                    reviews[r.tt] = site.review_rows(r.tt)
                 elif res.kind == "section":
                     # ground truth straight from the site (NOT the engine's
                     # parser) — engine-parsed rows must equal these
@@ -185,4 +194,4 @@ def simulate(
         pending.extend(new)
         per_iteration.append(it_order)
 
-    return SimTrace(fetch_order, per_iteration, seen, dead, images, titles, sections)
+    return SimTrace(fetch_order, per_iteration, seen, dead, images, titles, sections, reviews)

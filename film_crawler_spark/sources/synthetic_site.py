@@ -258,6 +258,50 @@ class SyntheticSite:
                 rows.append((f"nm{g % 10**7:07d}", f"{a} {b_}", f"The {NOUN[(g >> 9) % 10]}"))
         return rows
 
+    # -- reviews: the load-more page (reference S5, spiders.py:1508-1564) --
+
+    def n_reviews(self, tt: str) -> int:
+        return _h(f"{self.cfg.seed}:nrev:{tt}") % 25
+
+    def review_rows(self, tt: str) -> list[tuple]:
+        """Ground-truth reviews, newest-first — the order the reference's
+        click-load-more loop reveals them (spiders.py:1508-1564)."""
+        rows = []
+        for i in range(self.n_reviews(tt)):
+            g = _h(f"{self.cfg.seed}:rev:{tt}:{i}")
+            rows.append(
+                (
+                    f"rw{g % 10**7:07d}",                       # review id (ID)
+                    str(1 + g % 10),                            # rating
+                    f"{ADJ[g % 10]} {NOUN[(g >> 4) % 10]}!",    # title
+                    f"{ADJ[(g >> 8) % 10].lower()}_viewer_{g % 997}",  # name
+                    f"{2005 + g % 20}-{1 + (g >> 9) % 12:02d}-{1 + (g >> 14) % 28:02d}",  # date
+                    f"I found the {NOUN[(g >> 5) % 10].lower()} utterly {ADJ[(g >> 12) % 10].lower()}.",  # text
+                    str(g % 500),                               # action (helpful votes)
+                )
+            )
+        return rows
+
+    def _reviews_body(self, tt: str) -> str:
+        """The FULLY-LOADED reviews page: the resolver emulates the
+        reference's Selenium click-'load-more'-until-marker loop
+        (spiders.py:1508-1564, 25 per click, 'loaded-all' marker at
+        1544-1549) *inside* the fetch — one crawl URL, one seen-set
+        entry, exactly as the reference's one browser visit. The marker
+        is included so the parser can assert completeness."""
+        rows = [
+            f'<div class="review" data-id="{rid}"><span class="rv-rating">{rating}</span>'
+            f'<span class="rv-title">{title}</span><span class="rv-name">{name}</span>'
+            f'<span class="rv-date">{date}</span><p class="rv-text">{text}</p>'
+            f'<span class="rv-action">{action}</span></div>'
+            for rid, rating, title, name, date, text, action in self.review_rows(tt)
+        ]
+        return (
+            f"<html><body data-kind='reviews'>\n"
+            + "\n".join(rows)
+            + "\n<div class='loaded-all'></div></body></html>"
+        )
+
     def _section_body(self, tt: str, sec: str) -> str:
         cells = []
         for f1, f2, f3 in self.section_rows(tt, sec):
@@ -286,6 +330,9 @@ class SyntheticSite:
         m = re.search(r"/title/(tt\d+)/mediaviewer/(rm\d+)", url)
         if m:
             return FetchResult(200, "photo_detail", text=self._photo_detail_body(m.group(1), m.group(2)))
+        m = re.search(r"/title/(tt\d+)/reviews$", url)
+        if m:
+            return FetchResult(200, "reviews", text=self._reviews_body(m.group(1)))
         m = re.search(r"/title/(tt\d+)/(" + "|".join(SECTIONS) + r")$", url)
         if m:
             return FetchResult(

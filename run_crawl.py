@@ -29,6 +29,12 @@ def main() -> None:
     ap.add_argument("--budget-img", type=int, default=2048)
     ap.add_argument("--max-images-per-title", type=int, default=120)
     ap.add_argument("--no-reverse", action="store_true")
+    ap.add_argument(
+        "--repair", action="store_true",
+        help="re-enqueue the dead-letter backlog of an existing warehouse "
+             "(the reference's remain.csv replay, main.py:95-115) instead "
+             "of seeding a crawl",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,7 +68,12 @@ def main() -> None:
         max_iterations=args.max_iterations,
         reverse_seeds=not args.no_reverse,
     )
-    res = run_crawl(spark, seed_ids, cfg, progress=True)
+    if args.repair:
+        from film_crawler_spark.plans.repair import run_repair
+
+        res = run_repair(spark, cfg, progress=True)
+    else:
+        res = run_crawl(spark, seed_ids, cfg, progress=True)
     print(json.dumps({"iterations": len(res["iterations"]), "total_wall_s": res["total_wall_s"]}))
     spark.stop()
 

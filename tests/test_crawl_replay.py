@@ -61,7 +61,7 @@ def test_identical_seen_set(crawled, sim):
 
 def test_identical_dead_letter_set(crawled, sim):
     engine_dead = {
-        (r["url"], r["last_error"])
+        (r["canon_url"], r["last_error"])
         for r in crawled.read_log("dead_letter").collect()
     }
     assert engine_dead == {(c, f"http_{s}") for c, s in sim.dead}
@@ -128,6 +128,20 @@ def test_sections_match_ground_truth(crawled, sim):
     for sec, cols in SECTION_COLUMNS.items():
         v = section_view(sec_df, sec)
         assert v.columns == ["tt", "ord"] + cols
+
+
+def test_reviews_match_ground_truth(crawled, sim):
+    """S5 load-more reviews: parsed rows equal ground truth, in the
+    newest-first reveal order, for every title whose reviews page was
+    fetched successfully."""
+    rows = crawled.read_log("reviews").collect()
+    engine: dict = {}
+    for r in sorted(rows, key=lambda r: r["ord"]):
+        engine.setdefault(r["tt"], []).append(
+            (r["review_id"], r["rating"], r["title"], r["name"], r["date"], r["text"], r["action"])
+        )
+    sim_nonempty = {k: v for k, v in sim.reviews.items() if v}
+    assert engine == sim_nonempty
 
 
 def test_metrics_lineage_present(crawled):
