@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MERSENNE = (1 << 61) - 1
@@ -87,21 +87,44 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.col(block_col).alias("_blk"), word_shingles(F.col(text_col), n).alias("_sh")
     )
     if threshold > 0:
-        sizes = sh.select(F.col(id_col).alias("_id"), F.size("_sh").alias("_n"))
-        ex = sh.select(F.col(id_col).alias("_id"), "_blk", F.explode("_sh").alias("_g"))
-        inter = (
-            ex.alias("x")
-            .join(ex.alias("y"), on=["_blk", "_g"])
-            .filter(F.col("x._id") < F.col("y._id"))
-            .groupBy(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
-            .agg(F.count("*").alias("_inter"))
+        # ssjoin-style prefix filter (exact): J(A,B) >= t implies
+        # |A∩B| >= ceil(t*|A|), so by pigeonhole every qualifying pair
+        # shares an element inside each side's first
+        # |s| - ceil(t*|s|) + 1 shingles under ANY global total order.
+        # Ordering by ascending document frequency puts the corpus's hot
+        # shingles outside most prefixes — candidate generation then
+        # tracks rare-shingle co-occurrence, not the quadratic blow-up a
+        # template phrase shared by a whole block would cause.
+        ex = sh.select(
+            F.col(id_col).alias("_id"), "_blk", F.size("_sh").alias("_n"),
+            F.explode("_sh").alias("_g"),
         )
+        dfreq = ex.groupBy("_blk", "_g").agg(F.count("*").alias("_df"))
+        w = Window.partitionBy("_id").orderBy("_df", "_g")
+        prefix = (
+            ex.join(dfreq, ["_blk", "_g"])
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.col("_n") - F.ceil(F.col("_n") * threshold) + 1)
+            .select("_id", "_blk", "_g")
+        )
+        cand = (
+            prefix.alias("x")
+            .join(prefix.alias("y"), on=["_blk", "_g"])
+            .filter(F.col("x._id") < F.col("y._id"))
+            .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+            .distinct()
+        )
+        # exact verification on the (small) candidate set only
         return (
-            inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
-            .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+            cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")), "id_a")
+            .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")), "id_b")
             .withColumn(
                 "jaccard",
-                F.round(F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 6),
+                F.round(
+                    F.size(F.array_intersect("_sa", "_sb"))
+                    / F.size(F.array_union("_sa", "_sb")),
+                    6,
+                ),
             )
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")

@@ -14,10 +14,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+# One BLAS thread per Python worker: Spark already parallelizes across
+# workers (one per core), and the engine's NumPy kernels are tiny (8x8
+# DCT blocks, 32x32 phash). Multi-threaded BLAS here is pure oversubscription
+# — measured: 32 workers x 32 OpenBLAS threads made the blob-decode stage
+# 5x SLOWER at local[32] than at local[8], inverting the scaling curve.
+BLAS_PINNING = {
+    "OMP_NUM_THREADS": "1",
+    "OPENBLAS_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "VECLIB_MAXIMUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+}
+
+
 def engine_conf(shuffle_partitions: int | str = "32") -> dict[str, str]:
     """The engine's standard Spark configuration, usable both from
     get_spark() and from an externally-owned session (spark-submit)."""
-    return {
+    conf = {f"spark.executorEnv.{k}": v for k, v in BLAS_PINNING.items()}
+    # local mode: python workers fork from this very process — pin the
+    # driver env too (harmless on a real cluster)
+    for k, v in BLAS_PINNING.items():
+        os.environ.setdefault(k, v)
+    conf.update({
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -31,7 +50,8 @@ def engine_conf(shuffle_partitions: int | str = "32") -> dict[str, str]:
         "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
         "spark.sql.parquet.columnarReaderBatchSize": "512",
         "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
-    }
+    })
+    return conf
 
 
 def get_spark(

@@ -161,17 +161,26 @@ class SyntheticSite:
     # -- pixel content -------------------------------------------------------
 
     def image_pixels(self, rm: str, size: str) -> np.ndarray:
+        """Deterministic pseudo-natural content. float32 + 1-D broadcasts
+        on purpose: the original float64 mgrid version moved ~20 MB of
+        temporaries per image, and at 32 concurrent fetch workers the
+        resolver saturated DRAM bandwidth — inverting the engine's
+        core-count scaling measurements."""
         w, h = {"small": self.cfg.small_wh, "large": self.cfg.large_wh, "ori": self.cfg.ori_wh}[size]
         rng = np.random.default_rng(_h(f"{self.cfg.seed}:px:{rm}"))
-        yy, xx = np.mgrid[0:h, 0:w]
         f1, f2 = 3 + rng.integers(0, 20), 3 + rng.integers(0, 20)
-        base = np.sin(xx / f1) * 60 + np.cos(yy / f2) * 50 + 128
-        chans = [
-            np.clip(base * rng.uniform(0.6, 1.2) + rng.uniform(-30, 30), 0, 255)
-            for _ in range(3)
-        ]
-        img = np.stack(chans, axis=-1) + rng.normal(0, 2.0, (h, w, 3))
-        return np.clip(img, 0, 255).astype(np.uint8)
+        gx = (np.sin(np.arange(w, dtype=np.float32) / np.float32(f1)) * np.float32(60.0))
+        gy = (np.cos(np.arange(h, dtype=np.float32) / np.float32(f2)) * np.float32(50.0))
+        base = gy[:, None] + gx[None, :] + np.float32(128.0)
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for c in range(3):
+            gain = np.float32(rng.uniform(0.6, 1.2))
+            off = np.float32(rng.uniform(-30, 30))
+            chan = base * gain + off
+            chan += rng.standard_normal((h, w), dtype=np.float32) * np.float32(2.0)
+            np.clip(chan, 0.0, 255.0, out=chan)
+            out[..., c] = chan.astype(np.uint8)
+        return out
 
     def image_bytes(self, rm: str, size: str) -> bytes:
         px = self.image_pixels(rm, size)
