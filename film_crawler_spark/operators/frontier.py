@@ -49,6 +49,7 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("page_kind", T.StringType()),
         T.StructField("tt", T.StringType()),
         T.StructField("rm", T.StringType()),
+        T.StructField("nm", T.StringType()),
         T.StructField("attempts", T.IntegerType()),
         T.StructField("discovered_at_iter", T.IntegerType()),
     ]

@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from film_crawler_spark.functions.urls import canonicalize_url, n_pages, ori_url, url_host
 from film_crawler_spark.operators.frontier import child_seq
-from film_crawler_spark.sources.synthetic_site import PER_PAGE, SECTIONS
+from film_crawler_spark.sources.synthetic_site import PER_PAGE, PER_PAGE_HIST, SECTIONS
 
 # frontier columns the parse UDF emits; url_hash/shard are added JVM-side
 # afterwards (xxhash64/murmur3 must come from Spark so they are the same
@@ -42,6 +42,7 @@ DISCOVERED_SCHEMA = T.StructType(
         T.StructField("page_kind", T.StringType()),
         T.StructField("tt", T.StringType()),
         T.StructField("rm", T.StringType()),
+        T.StructField("nm", T.StringType()),
     ]
 )
 
@@ -93,6 +94,12 @@ _RE_GRID = re.compile(r'href="(/title/(tt\d+)/mediaviewer/(rm\d+))"')
 _RE_CAPTION = re.compile(r'class="caption">(.*?)</div>')
 _RE_SIZED = re.compile(r'data-size="(small|large)" src="([^"]+)"')
 _RE_SIZE_SPEC = re.compile(r"\.(UX32_CR0|UX96_CR0)\.")
+_RE_PERSON_LINK = re.compile(r'data-link="(https://[^"]+/name/(nm\d+)/)"')
+_RE_CREDITS = re.compile(r'class="credit-count">([\d,]+) credits')
+_RE_PERSON_HERO = re.compile(
+    r"<h1>(.*?)</h1>.*?jobs\">(.*?)</span>.*?born\">(\d+)</span>", re.S
+)
+_RE_FILMO_ROW = re.compile(r'<li class="credit"><a href="/title/(tt\d+)/">(.*?)</a></li>')
 
 
 def discover_links(fetched_ok: DataFrame) -> DataFrame:
@@ -119,7 +126,7 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
                         u = f"{base}/title/{r.tt}/mediaindex?page={p}"
                         rows.append(
                             (u, canonicalize_url(u), r.host, 1, child_seq(r.seq, p - 1), 1,
-                             "mediaindex", r.tt, None)
+                             "mediaindex", r.tt, None, None)
                         )
                     # F6 subpage fan-out (reference spiders.py:310-329):
                     # section URLs are CONSTRUCTED from the title URL, not
@@ -130,7 +137,7 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
                         u = r.url + sec  # title urls end with '/'
                         rows.append(
                             (u, canonicalize_url(u), r.host, 1,
-                             child_seq(r.seq, pages + s_i), 1, "section", r.tt, None)
+                             child_seq(r.seq, pages + s_i), 1, "section", r.tt, None, None)
                         )
                     # reviews: ONE crawl URL per title; the load-more
                     # cursor loop lives in the resolver (S5 semantics —
@@ -139,14 +146,33 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
                     u = r.url + "reviews"
                     rows.append(
                         (u, canonicalize_url(u), r.host, 1,
-                         child_seq(r.seq, pages + len(SECTIONS)), 1, "reviews", r.tt, None)
+                         child_seq(r.seq, pages + len(SECTIONS)), 1, "reviews", r.tt, None, None)
                     )
                 elif r.kind == "mediaindex":
                     for j, m in enumerate(_RE_GRID.finditer(body)):
                         u = base + m.group(1)
                         rows.append(
                             (u, canonicalize_url(u), r.host, 2, child_seq(r.seq, j), 2,
-                             "photo_detail", m.group(2), m.group(3))
+                             "photo_detail", m.group(2), m.group(3), None)
+                        )
+                elif r.kind == "section":
+                    # cross-entity discovery (reference nmIMDB spider is
+                    # seeded from cast links; here the fullcredits section
+                    # IS the link source, spiders.py:1359-1419 cast ids)
+                    for j, m in enumerate(_RE_PERSON_LINK.finditer(body)):
+                        u, nm_id = m.group(1), m.group(2)
+                        rows.append(
+                            (u, canonicalize_url(u), url_host(u), 2,
+                             child_seq(r.seq, j), 2, "person", None, None, nm_id)
+                        )
+                elif r.kind == "person":
+                    m = _RE_CREDITS.search(body)
+                    n = int(m.group(1).replace(",", "")) if m else 0
+                    for p in range(1, n_pages(n, PER_PAGE_HIST) + 1):
+                        u = f"{base}/name/{r.nm}/filmosearch?page={p}"
+                        rows.append(
+                            (u, canonicalize_url(u), r.host, 3, child_seq(r.seq, p - 1), 3,
+                             "filmo", None, None, r.nm)
                         )
                 elif r.kind == "photo_detail":
                     sized = dict(_RE_SIZED.findall(body))
@@ -155,7 +181,7 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
                         for j, u in enumerate([small, large, ori_url(large)]):
                             rows.append(
                                 (u, canonicalize_url(u), url_host(u), 3, child_seq(r.seq, j), 3,
-                                 "image_blob", r.tt, r.rm)
+                                 "image_blob", r.tt, r.rm, None)
                             )
             yield pd.DataFrame(rows, columns=cols)
 
@@ -220,6 +246,72 @@ _RE_REVIEW = re.compile(
 _RE_LOADED_ALL = re.compile(r"class='loaded-all'")
 
 
+PERSON_SCHEMA = T.StructType(
+    [
+        T.StructField("nm", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("jobs", T.StringType()),
+        T.StructField("born", T.IntegerType()),
+        T.StructField("n_credits", T.IntegerType()),
+    ]
+)
+
+CREDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("nm", T.StringType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("ord", T.IntegerType()),
+        T.StructField("tt", T.StringType()),
+        T.StructField("title", T.StringType()),
+    ]
+)
+
+
+def extract_persons(fetched_ok: DataFrame) -> DataFrame:
+    """Person hero fields (reference person base.csv: id, name, jobs,
+    born — spiders.py:2235-2242, parsed at 2131-2165)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "person":
+                    continue
+                body = r.body.decode("utf-8", "replace")
+                hero = _RE_PERSON_HERO.search(body)
+                cnt = _RE_CREDITS.search(body)
+                if hero:
+                    rows.append(
+                        (r.nm, hero.group(1), hero.group(2), int(hero.group(3)),
+                         int(cnt.group(1).replace(",", "")) if cnt else 0)
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in PERSON_SCHEMA.fields])
+
+    return fetched_ok.filter(F.col("kind") == "person").mapInPandas(_run, PERSON_SCHEMA)
+
+
+def extract_credits(fetched_ok: DataFrame) -> DataFrame:
+    """Filmography rows (reference hists.csv: id, url, title —
+    spiders.py:2332-2340, paginated get_hist at 2382-2421). ``ord`` is
+    the position on the page; (page, ord) reconstructs the reference's
+    sort=year traversal order."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "filmo":
+                    continue
+                body = r.body.decode("utf-8", "replace")
+                pm = re.search(r"data-page='(\d+)'", body)
+                page = int(pm.group(1)) if pm else 0
+                for i, m in enumerate(_RE_FILMO_ROW.finditer(body)):
+                    rows.append((r.nm, page, i, m.group(1), m.group(2)))
+            yield pd.DataFrame(rows, columns=[f.name for f in CREDIT_SCHEMA.fields])
+
+    return fetched_ok.filter(F.col("kind") == "filmo").mapInPandas(_run, CREDIT_SCHEMA)
+
+
 def extract_reviews(fetched_ok: DataFrame) -> DataFrame:
     """getEachReview twin (reference spiders.py:1566-1597, 4491-4528):
     reviews.csv columns (rating, title, name, ID, date, text, action).
@@ -246,7 +338,9 @@ def extract_reviews(fetched_ok: DataFrame) -> DataFrame:
 
 
 _RE_SEC_KIND = re.compile(r"data-sec='(\w+)'")
-_RE_SEC_ROW = re.compile(r'<tr class="sec-row"><td>(.*?)</td><td>(.*?)</td><td>(.*?)</td></tr>')
+_RE_SEC_ROW = re.compile(
+    r'<tr class="sec-row"(?: data-link="[^"]*")?><td>(.*?)</td><td>(.*?)</td><td>(.*?)</td></tr>'
+)
 
 # typed per-section column names — the engine twin of the reference's
 # fixed-schema section CSVs (SURVEY §1.3: keywords.csv, companies.csv,

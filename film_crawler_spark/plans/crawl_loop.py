@@ -44,8 +44,8 @@ from film_crawler_spark.sources.tableio import TableIO
 
 RESULT_TABLES = [
     "frontier", "seen", "bloom", "titles", "captions", "sections", "reviews",
-    "renditions", "images", "dead_letter", "metrics", "fetch_log", "robots",
-    "robots_denied",
+    "persons", "credits", "renditions", "images", "dead_letter", "metrics",
+    "fetch_log", "robots", "robots_denied",
 ]
 
 
@@ -109,6 +109,7 @@ def init_frontier(spark: SparkSession, seed_ids: list[str], cfg: CrawlConfig) ->
             F.lit("title").alias("page_kind"),
             F.col("id").alias("tt"),
             F.lit(None).cast("string").alias("rm"),
+            F.lit(None).cast("string").alias("nm"),
             F.lit(0).alias("attempts"),
             F.lit(0).alias("discovered_at_iter"),
         )
@@ -218,6 +219,8 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     captions = P.extract_captions(ok).withColumn("iteration", F.lit(it))
     sections = P.extract_sections(ok).withColumn("iteration", F.lit(it))
     reviews = P.extract_reviews(ok).withColumn("iteration", F.lit(it))
+    persons = P.extract_persons(ok).withColumn("iteration", F.lit(it))
+    credits = P.extract_credits(ok).withColumn("iteration", F.lit(it))
     renditions = P.decode_blobs(ok).withColumn("iteration", F.lit(it))
 
     metrics = (
@@ -291,6 +294,8 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         ("captions", lambda: io.stage(captions, "captions", it)),
         ("sections", lambda: io.stage(sections, "sections", it)),
         ("reviews", lambda: io.stage(reviews, "reviews", it)),
+        ("persons", lambda: io.stage(persons, "persons", it)),
+        ("credits", lambda: io.stage(credits, "credits", it)),
         ("dead_letter", lambda: io.stage(
             out["dead"].withColumn("iteration", F.lit(it)), "dead_letter", it)),
         ("metrics", lambda: io.stage(metrics, "metrics", it)),

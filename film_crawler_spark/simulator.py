@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 from film_crawler_spark.functions.urls import canonicalize_url, n_pages, ori_url, url_host
 from film_crawler_spark.operators.frontier import child_seq, seed_seq
 from film_crawler_spark.operators.politeness import PolitenessConfig
-from film_crawler_spark.sources.synthetic_site import PER_PAGE, SECTIONS, SiteConfig, SyntheticSite
+from film_crawler_spark.sources.synthetic_site import PER_PAGE, PER_PAGE_HIST, SECTIONS, SiteConfig, SyntheticSite
 
 _RE_COUNT = re.compile(r'class="image-count">([\d,]+) Photos')
 _RE_GRID = re.compile(r'href="(/title/(tt\d+)/mediaviewer/(rm\d+))"')
@@ -42,6 +42,7 @@ class SimRow:
     kind: str = field(compare=False)
     tt: str = field(compare=False, default=None)
     rm: str = field(compare=False, default=None)
+    nm: str = field(compare=False, default=None)
 
 
 @dataclass
@@ -54,6 +55,8 @@ class SimTrace:
     titles: dict  # tt -> n_images
     sections: dict = field(default_factory=dict)  # (tt, sec) -> [(f1, f2, f3)]
     reviews: dict = field(default_factory=dict)  # tt -> [review tuples]
+    persons: dict = field(default_factory=dict)  # nm -> (name, jobs, born, n_credits)
+    credits: dict = field(default_factory=dict)  # nm -> [(tt, title)] in (page, ord) order
 
 
 def simulate(
@@ -89,6 +92,8 @@ def simulate(
     titles: dict = {}
     sections: dict = {}
     reviews: dict = {}
+    persons: dict = {}
+    credits: dict = {}
 
     for _ in range(max_iterations):
         if not pending:
@@ -153,7 +158,36 @@ def simulate(
                     # ground truth straight from the site (NOT the engine's
                     # parser) — engine-parsed rows must equal these
                     sec = res.meta["sec"]
-                    sections[(r.tt, sec)] = site.section_rows(r.tt, sec)
+                    rows_gt = site.section_rows(r.tt, sec)
+                    sections[(r.tt, sec)] = rows_gt
+                    if sec == "fullcredits":
+                        for j, (nm_id, _n, _c) in enumerate(rows_gt):
+                            u = site.person_url(nm_id)
+                            discovered.append(
+                                SimRow(2, child_seq(r.seq, j), u, canonicalize_url(u),
+                                       url_host(u), 2, "person", None, None, nm_id)
+                            )
+                elif res.kind == "person":
+                    persons[r.nm] = (
+                        site.person_name(r.nm), site.person_jobs(r.nm),
+                        site.person_born(r.nm), site.n_credits(r.nm),
+                    )
+                    n_cred = site.n_credits(r.nm)
+                    for p in range(1, n_pages(n_cred, PER_PAGE_HIST) + 1):
+                        u = f"{base}/name/{r.nm}/filmosearch?page={p}"
+                        discovered.append(
+                            SimRow(3, child_seq(r.seq, p - 1), u, canonicalize_url(u),
+                                   r.host, 3, "filmo", None, None, r.nm)
+                        )
+                elif res.kind == "filmo":
+                    pm = re.search(r"data-page='(\d+)'", res.text)
+                    page = int(pm.group(1)) if pm else 0
+                    first = (page - 1) * PER_PAGE_HIST
+                    n_cred = site.n_credits(r.nm)
+                    credits.setdefault(r.nm, {})[page] = [
+                        site.credit_tt(r.nm, i)
+                        for i in range(first, min(page * PER_PAGE_HIST, n_cred))
+                    ]
                 elif res.kind == "mediaindex":
                     for j, m in enumerate(_RE_GRID.finditer(res.text)):
                         u = base + m.group(1)
@@ -194,4 +228,9 @@ def simulate(
         pending.extend(new)
         per_iteration.append(it_order)
 
-    return SimTrace(fetch_order, per_iteration, seen, dead, images, titles, sections, reviews)
+    flat_credits = {
+        nm: [t for page in sorted(pages) for t in pages[page]]
+        for nm, pages in credits.items()
+    }
+    return SimTrace(fetch_order, per_iteration, seen, dead, images, titles,
+                    sections, reviews, persons, flat_credits)

@@ -35,6 +35,7 @@ from film_crawler_spark.functions.images import dctq_encode, png_encode
 from film_crawler_spark.functions.urls import murmur3_x86_32
 
 PER_PAGE = 48  # reference spiders.py:177 PER_PAGE_OF_IMG
+PER_PAGE_HIST = 50  # reference spiders.py:2052 PER_PAGE_OF_HIST (filmography)
 
 # F6 subpage fan-out: each crawled title also fetches its section pages
 # (reference spiders.py:310-329 builds 20 such URLs per title; this world
@@ -267,6 +268,62 @@ class SyntheticSite:
                 rows.append((f"nm{g % 10**7:07d}", f"{a} {b_}", f"The {NOUN[(g >> 9) % 10]}"))
         return rows
 
+    # -- persons (reference nmIMDB spider, spiders.py:2121-2421) --------
+
+    def host_of_person(self, nm: str) -> str:
+        h = _h(f"{self.cfg.seed}:phost:{nm}")
+        if (h % 1000) / 1000.0 < self.cfg.hot_host_share:
+            return "www.media-h0.com"
+        j = 1 + h % (self.cfg.n_hosts - 1) if self.cfg.n_hosts > 1 else 0
+        return f"www.media-h{j}.com"
+
+    def person_url(self, nm: str) -> str:
+        return f"https://{self.host_of_person(nm)}/name/{nm}/"
+
+    def person_name(self, nm: str) -> str:
+        h = _h(f"{self.cfg.seed}:pname:{nm}")
+        return f"{ADJ[h % 10]} {NOUN[(h >> 4) % 10]}"
+
+    def person_jobs(self, nm: str) -> str:
+        h = _h(f"{self.cfg.seed}:pjobs:{nm}")
+        pool = ["Actor", "Director", "Writer", "Producer", "Composer"]
+        return ", ".join(sorted({pool[h % 5], pool[(h >> 5) % 5]}))
+
+    def person_born(self, nm: str) -> int:
+        return 1920 + _h(f"{self.cfg.seed}:pborn:{nm}") % 90
+
+    def n_credits(self, nm: str) -> int:
+        return _h(f"{self.cfg.seed}:ncred:{nm}") % 120  # up to 3 filmo pages
+
+    def credit_tt(self, nm: str, idx: int) -> tuple[str, str]:
+        g = _h(f"{self.cfg.seed}:cred:{nm}:{idx}")
+        tt = f"tt{g % 10**7:07d}"
+        return tt, f"{ADJ[g % 10]} {NOUN[(g >> 4) % 10]} {1900 + (g >> 8) % 126}"
+
+    def _person_body(self, nm: str) -> str:
+        # filmography pagination mirrors reference PER_PAGE_OF_HIST=50
+        # (spiders.py:2052, ceil fan-out at 2382-2407)
+        return (
+            f"<html><body data-kind='person'>\n<h1>{self.person_name(nm)}</h1>\n"
+            f'<span class="jobs">{self.person_jobs(nm)}</span>\n'
+            f'<span class="born">{self.person_born(nm)}</span>\n'
+            f'<span class="credit-count">{self.n_credits(nm):,} credits</span>\n'
+            f"</body></html>"
+        )
+
+    def _filmo_body(self, nm: str, page: int) -> str:
+        n = self.n_credits(nm)
+        first, last = (page - 1) * PER_PAGE_HIST, min(page * PER_PAGE_HIST, n)
+        rows = []
+        for i in range(first, last):
+            tt, title = self.credit_tt(nm, i)
+            rows.append(f'<li class="credit"><a href="/title/{tt}/">{title}</a></li>')
+        return (
+            f"<html><body data-kind='filmo' data-page='{page}'>\n"
+            + "\n".join(rows)
+            + "\n</body></html>"
+        )
+
     # -- reviews: the load-more page (reference S5, spiders.py:1508-1564) --
 
     def n_reviews(self, tt: str) -> int:
@@ -314,8 +371,11 @@ class SyntheticSite:
     def _section_body(self, tt: str, sec: str) -> str:
         cells = []
         for f1, f2, f3 in self.section_rows(tt, sec):
+            # fullcredits rows carry the person link the crawler follows
+            # (cross-entity discovery; reference cast hrefs spiders.py:1359-1419)
+            link = f' data-link="{self.person_url(f1)}"' if sec == "fullcredits" else ""
             cells.append(
-                f'<tr class="sec-row"><td>{f1 if f1 is not None else ""}</td>'
+                f'<tr class="sec-row"{link}><td>{f1 if f1 is not None else ""}</td>'
                 f"<td>{f2 if f2 is not None else ''}</td>"
                 f"<td>{f3 if f3 is not None else ''}</td></tr>"
             )
@@ -339,6 +399,12 @@ class SyntheticSite:
         m = re.search(r"/title/(tt\d+)/mediaviewer/(rm\d+)", url)
         if m:
             return FetchResult(200, "photo_detail", text=self._photo_detail_body(m.group(1), m.group(2)))
+        m = re.search(r"/name/(nm\d+)/filmosearch\?page=(\d+)", url)
+        if m:
+            return FetchResult(200, "filmo", text=self._filmo_body(m.group(1), int(m.group(2))))
+        m = re.search(r"/name/(nm\d+)/?$", url)
+        if m:
+            return FetchResult(200, "person", text=self._person_body(m.group(1)))
         m = re.search(r"/title/(tt\d+)/reviews$", url)
         if m:
             return FetchResult(200, "reviews", text=self._reviews_body(m.group(1)))

@@ -144,6 +144,27 @@ def test_reviews_match_ground_truth(crawled, sim):
     assert engine == sim_nonempty
 
 
+def test_persons_match_ground_truth(crawled, sim):
+    """Cross-entity crawl (reference nmIMDB spider): every person page
+    reached through a fullcredits link yields the ground-truth hero
+    fields (person base.csv shape: id, name, jobs, born)."""
+    rows = crawled.read_log("persons").collect()
+    engine = {r["nm"]: (r["name"], r["jobs"], r["born"], r["n_credits"]) for r in rows}
+    assert engine == sim.persons
+    assert engine  # the fixture world must actually contain persons
+
+
+def test_credits_match_ground_truth(crawled, sim):
+    """F3 filmography pagination (ceil(n/50), reference spiders.py:2382-
+    2407): credits equal ground truth in (page, ord) order per person."""
+    rows = crawled.read_log("credits").collect()
+    engine: dict = {}
+    for r in sorted(rows, key=lambda r: (r["page"], r["ord"])):
+        engine.setdefault(r["nm"], []).append((r["tt"], r["title"]))
+    sim_nonempty = {k: [tuple(t) for t in v] for k, v in sim.credits.items() if v}
+    assert engine == sim_nonempty
+
+
 def test_metrics_lineage_present(crawled):
     m = crawled.read_log("metrics")
     assert {"iteration", "partition_id", "host", "kind", "status", "pages", "bytes"} <= set(m.columns)
