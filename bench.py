@@ -30,7 +30,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_SEEDS", "2500"))
+CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_SEEDS", "3000"))
 MAX_IMAGES = 120
 # N and 4N cores for the scaling-efficiency criterion. Default 2 vs 8:
 # a raw-multiprocessing control (tools/machine_probe.py) shows this
@@ -127,8 +127,16 @@ def run_crawl_bench() -> dict:
     for cores in (lo, hi):
         wh = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
         log(f"[bench] crawl at local[{cores}] ({CRAWL_SEEDS} seeds)...")
+        # taskset pins the child to exactly `cores` CPUs: a local[N] JVM
+        # on an otherwise-idle big box BORROWS extra cores (Arrow feeder
+        # threads + the Python worker run concurrently with each task
+        # thread, parallel GC uses its own pool), which inflates the
+        # small-N leg and corrupts the N->4N ratio. With the pin, "N
+        # cores" is physical — the same meaning N executors have on a
+        # real cluster.
+        pin = ["taskset", "-c", f"0-{cores - 1}"]
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--crawl-child", str(cores), str(CRAWL_SEEDS), wh],
+            pin + [sys.executable, os.path.abspath(__file__), "--crawl-child", str(cores), str(CRAWL_SEEDS), wh],
             capture_output=True,
             text=True,
             timeout=5400,
