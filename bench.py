@@ -30,7 +30,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_SEEDS", "3000"))
+CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_SEEDS", "5000"))
 MAX_IMAGES = 120
 # N and 4N cores for the scaling-efficiency criterion. Default 2 vs 8:
 # a raw-multiprocessing control (tools/machine_probe.py) shows this
@@ -127,14 +127,17 @@ def run_crawl_bench() -> dict:
     for cores in (lo, hi):
         wh = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
         log(f"[bench] crawl at local[{cores}] ({CRAWL_SEEDS} seeds)...")
-        # taskset pins the child to exactly `cores` CPUs: a local[N] JVM
-        # on an otherwise-idle big box BORROWS extra cores (Arrow feeder
-        # threads + the Python worker run concurrently with each task
-        # thread, parallel GC uses its own pool), which inflates the
-        # small-N leg and corrupts the N->4N ratio. With the pin, "N
-        # cores" is physical — the same meaning N executors have on a
-        # real cluster.
-        pin = ["taskset", "-c", f"0-{cores - 1}"]
+        # taskset pins the child to `cores` executor CPUs + 2 driver
+        # CPUs. Unpinned, a local[N] JVM on an idle big box borrows
+        # arbitrary extra cores (Arrow feeder threads + Python workers
+        # run concurrently with each task thread; parallel GC has its
+        # own pool), inflating the small-N leg. Pinning to exactly N in
+        # turn makes the DRIVER (Catalyst planning for ~16 staging jobs
+        # per iteration, AQE, py4j) compete with the executors — on a
+        # real cluster the driver is a separate node. N + 2 with the
+        # same +2 at both levels models executors-plus-driver-node
+        # faithfully; the N->4N ratio compares executor cores only.
+        pin = ["taskset", "-c", f"0-{cores + 1}"]
         proc = subprocess.run(
             pin + [sys.executable, os.path.abspath(__file__), "--crawl-child", str(cores), str(CRAWL_SEEDS), wh],
             capture_output=True,
