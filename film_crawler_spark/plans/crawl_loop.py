@@ -36,7 +36,7 @@ from film_crawler_spark.functions.urls import canonicalize_url
 from film_crawler_spark.operators import frontier as FR
 from film_crawler_spark.operators import parse as P
 from film_crawler_spark.operators import robots as ROB
-from film_crawler_spark.operators.fetch import fetch_batch, split_outcomes
+from film_crawler_spark.operators.fetch import fetch_batch
 from film_crawler_spark.operators.politeness import PolitenessConfig
 from film_crawler_spark.operators.seen import BloomSeenSet, filter_unseen
 from film_crawler_spark.sources.synthetic_site import SiteConfig, SyntheticSite
@@ -155,8 +155,25 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     ).collect()[0]
     n_fetched, n_ok = counts["n"], counts["n_ok"]
     t_fetch = round(time.time() - t0, 2)
-    out = split_outcomes(fetched, pol)
-    ok = out["ok"]
+    ok = fetched.filter((~F.col("budget_denied")) & (F.col("status") == 200))
+
+    # fetch_log: every non-body column + partition id + body length. It
+    # is staged FIRST, synchronously: this is the single full scan of the
+    # fat body cache the bookkeeping tables pay — seen delta, dead
+    # letters, metrics, leftover and budget-denied rows all derive from
+    # its small staged parquet instead of re-scanning gigabytes of blobs.
+    fetch_log = fetched.select(
+        "url", "canon_url", "url_hash", "shard", "host", "priority", "seq",
+        "depth", "page_kind", "tt", "rm", "nm", "attempts", "discovered_at_iter",
+        "status", "n_attempts", "budget_denied",
+        F.spark_partition_id().alias("partition_id"),
+        F.length("body").alias("body_len"),
+    ).withColumn("iteration", F.lit(it))
+    t_fl = time.time()
+    io.stage(fetch_log, "fetch_log", it)
+    fetch_log_s = round(time.time() - t_fl, 2)
+    flog = spark.read.parquet(io._tdir("fetch_log", it))
+    attempted = flog.filter(~F.col("budget_denied"))
 
     # --- parse + discover (persisted: robots staging, robots_denied and
     # the frontier write all consume it — without the persist the
@@ -187,13 +204,14 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     discovered, robots_denied = ROB.split_by_robots(discovered_all, robots_cache)
 
     # --- seen filter: committed seen + this iteration's attempts + pending
-    # (exactly-once enqueue, T7). leftover derives from the *persisted*
-    # fetch result rather than the dequeued plan so the dequeue windows
-    # run exactly once per iteration.
+    # (exactly-once enqueue, T7). seen_delta/dead/metrics/leftover all
+    # derive from the STAGED fetch_log parquet (body-free) — one scan of
+    # the fat body cache writes fetch_log, and the bookkeeping plans then
+    # read kilobyte-scale columns instead of re-scanning gigabytes.
     seen_exact = io.read_log("seen", upto=it - 1)
-    seen_delta = out["seen_delta"]
+    seen_delta = attempted.select("canon_url", "url_hash", "shard", "host", "status")
     all_seen = seen_delta if seen_exact is None else seen_exact.select(*seen_delta.columns).unionByName(seen_delta)
-    leftover = FR.remaining(pending, fetched)
+    leftover = FR.remaining(pending, flog)
     frontier_cols = [f.name for f in FR.FRONTIER_SCHEMA.fields]
     # Bloom maintenance is LAZY: below the probe threshold the bitmap is
     # neither probed nor updated (a per-iteration cogroup+write bought
@@ -212,7 +230,8 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         exclusions = all_seen.select("canon_url").unionByName(leftover.select("canon_url"))
         new_rows = discovered.join(exclusions, "canon_url", "left_anti").select(*frontier_cols)
 
-    next_pending = leftover.unionByName(out["denied"]).unionByName(new_rows)
+    denied_rows = flog.filter(F.col("budget_denied")).select(*frontier_cols)
+    next_pending = leftover.unionByName(denied_rows).unionByName(new_rows)
 
     # --- results ---
     titles = P.extract_titles(ok).withColumn("iteration", F.lit(it))
@@ -221,29 +240,32 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     reviews = P.extract_reviews(ok).withColumn("iteration", F.lit(it))
     persons = P.extract_persons(ok).withColumn("iteration", F.lit(it))
     credits = P.extract_credits(ok).withColumn("iteration", F.lit(it))
-    renditions = P.decode_blobs(ok).withColumn("iteration", F.lit(it))
+    # ori bytes live ONLY in the images table; renditions stores the
+    # small/large payloads. Writing ori into both (as before) doubled the
+    # heaviest write of a media iteration; renditions_view() reunites
+    # them for readers that want all three renditions.
+    renditions_all = P.decode_blobs(ok)
+    renditions = renditions_all.filter(F.col("rendition") != "ori").withColumn(
+        "iteration", F.lit(it)
+    )
 
     metrics = (
-        fetched.groupBy(
-            F.spark_partition_id().alias("partition_id"),
-            "host",
-            F.col("page_kind").alias("kind"),
-            "status",
+        flog.groupBy(
+            "partition_id", "host", F.col("page_kind").alias("kind"), "status",
         )
         .agg(
             F.count("*").alias("pages"),
-            F.sum(F.length("body")).alias("bytes"),
+            F.sum("body_len").alias("bytes"),
             F.sum("n_attempts").alias("attempts"),
         )
         .withColumn("iteration", F.lit(it))
     )
 
-    # per-fetch lineage: (iteration, host, priority, seq) reconstructs the
-    # exact per-host fetch order for the replay-equality gate
-    fetch_log = fetched.select(
-        "canon_url", "host", "priority", "seq", "depth", "page_kind",
-        "status", "n_attempts", "budget_denied",
-    ).withColumn("iteration", F.lit(it))
+    dead = attempted.filter(F.col("status") != 200).select(
+        *[c for c in frontier_cols if c != "attempts"],
+        F.col("n_attempts").alias("attempts"),
+        F.concat(F.lit("http_"), F.col("status")).alias("last_error"),
+    )
 
     # --- stage everything, then the atomic commit ---
     # Staging jobs are independent Spark jobs; submit them concurrently so
@@ -270,7 +292,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         caps_all = io.read_log("captions", upto=it - 1)
         caps_all_u = captions if caps_all is None else caps_all.unionByName(captions)
         images = (
-            renditions.filter(F.col("rendition") == "ori")
+            renditions_all.filter(F.col("rendition") == "ori")
             .join(F.broadcast(caps_all_u.select("rm", "caption")), "rm", "left")
             .select(
                 F.col("rm").alias("image_id"), "bytes", "w", "h", "fmt",
@@ -297,9 +319,8 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         ("persons", lambda: io.stage(persons, "persons", it)),
         ("credits", lambda: io.stage(credits, "credits", it)),
         ("dead_letter", lambda: io.stage(
-            out["dead"].withColumn("iteration", F.lit(it)), "dead_letter", it)),
+            dead.withColumn("iteration", F.lit(it)), "dead_letter", it)),
         ("metrics", lambda: io.stage(metrics, "metrics", it)),
-        ("fetch_log", lambda: io.stage(fetch_log, "fetch_log", it)),
         ("robots", lambda: io.stage(robots_cache, "robots", it)),
         ("robots_denied", lambda: io.stage(
             robots_denied.select("canon_url", "host", "page_kind").withColumn(
@@ -319,7 +340,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
                 bloom_set.merge(bloom_prev, bloom_src.select("shard", "url_hash")), "bloom", it
             ))
         )
-    stage_s: dict[str, float] = {}
+    stage_s: dict[str, float] = {"fetch_log": fetch_log_s}
 
     def _timed(name, fn):
         t = time.time()
@@ -388,3 +409,17 @@ def run_crawl(
         if s["pending_next"] == 0:
             break
     return {"iterations": summaries, "total_wall_s": round(time.time() - t0, 3)}
+
+
+def renditions_view(io: TableIO) -> DataFrame:
+    """All three renditions per rm: the renditions table (small/large)
+    plus the ori payloads that live in the images table (ori bytes are
+    stored once, there — see run_iteration)."""
+    rend = io.read_log("renditions")
+    imgs = io.read_log("images").select(
+        F.col("image_id").alias("rm"),
+        F.lit(None).cast("string").alias("tt"),
+        F.lit("ori").alias("rendition"),
+        "bytes", "w", "h", "fmt", "phash", "iteration",
+    )
+    return rend.select(imgs.columns).unionByName(imgs)

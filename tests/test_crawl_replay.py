@@ -95,8 +95,10 @@ def test_pixel_invariants(crawled):
 
 
 def test_renditions_complete(crawled, sim):
+    from film_crawler_spark.plans.crawl_loop import renditions_view
+
     rend = (
-        crawled.read_log("renditions")
+        renditions_view(crawled)
         .groupBy("rm")
         .agg(F.collect_set("rendition").alias("rs"))
         .collect()
