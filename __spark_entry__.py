@@ -4,9 +4,11 @@
 ``queries()``   — one callable per implemented operator (SURVEY.md §2 +
                   the training-data extensions), from
                   film_crawler_spark.queries.REGISTRY.
-``oracle_sql()``— the DuckDB twins for every SQL-expressible entry;
-                  rows-only ops (minhash LSH, simhash, LSH-ANN) are
-                  deliberately absent here and verified by pytest
+``oracle_sql()``— the DuckDB twins for every SQL-expressible entry
+                  (simhash included since round 2: md5-based word hash
+                  computes identically in Spark SQL and DuckDB);
+                  rows-only ops (minhash LSH, LSH-ANN) are deliberately
+                  absent here and verified by pytest
                   (tests/test_dedup_similarity.py) instead.
 """
 

@@ -20,8 +20,10 @@ Diagnostics go to stderr; stdout carries exactly the one JSON line.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -37,9 +39,37 @@ MAX_IMAGES = 120
 # machine scales the blob workload ~1.0x/core up to 8 processes but only
 # ~0.71 efficiency from 8->32 processes (DRAM bandwidth / turbo ceiling)
 # — so 8 vs 32 measures the box, not the engine. Both pairs reported.
-CORES_PAIR = tuple(
-    int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_CORES", "2,8").split(",")
-)
+def _cores_pair() -> tuple[int, int]:
+    raw = os.environ.get("SPARK_GRAFT_BENCH_CORES", "2,8")
+    parts = raw.split(",")
+    if len(parts) != 2:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_CORES must be 'lo,hi' (got {raw!r})"
+        )
+    lo, hi = (int(x) for x in parts)
+    ncpu = os.cpu_count() or 1
+    if not (0 < lo < hi) or hi + 2 > ncpu:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_CORES={raw!r} invalid: need 0 < lo < hi and "
+            f"hi+2 <= cpu_count ({ncpu}) for the taskset pin"
+        )
+    return lo, hi
+
+
+CORES_PAIR = _cores_pair()
+
+
+def prune_bench_tmp() -> None:
+    """Remove leftover bench warehouses + dead Spark scratch dirs.
+
+    Round 1's driver bench died with ENOSPC because each crawl child's
+    temp warehouse (~6 GB) was never removed. Belt-and-braces: sweep
+    before and after every bench run, including orphans from crashed
+    prior runs.
+    """
+    for pat in ("/tmp/bench_crawl_*", "/tmp/spark-*", "/tmp/blockmgr-*"):
+        for d in glob.glob(pat):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def log(msg: str) -> None:
@@ -101,7 +131,7 @@ def crawl_child(cores: int, seeds_n: int, warehouse: str) -> None:
     wall = time.time() - t0
     io = TableIO(spark, warehouse)
     flog = io.read_log("fetch_log")
-    pages = flog.filter(F.col("page_kind") != "image_blob").count()
+    pages = flog.filter(~F.col("page_kind").isin("image_blob", "video_blob")).count()
     blobs = flog.filter(F.col("page_kind") == "image_blob").count()
     images = io.read_log("images").count()
     spark.stop()
@@ -127,6 +157,21 @@ def run_crawl_bench() -> dict:
     for cores in (lo, hi):
         wh = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
         log(f"[bench] crawl at local[{cores}] ({CRAWL_SEEDS} seeds)...")
+        try:
+            out[f"local[{cores}]"] = _run_crawl_leg(cores, wh)
+        finally:
+            # the child's warehouse is ~GBs of parquet; never leave it
+            # behind (round 1's ENOSPC crash)
+            shutil.rmtree(wh, ignore_errors=True)
+    n, n4 = out[f"local[{lo}]"], out[f"local[{hi}]"]
+    factor = hi / lo
+    out["cores"] = {"n": lo, "xn": hi}
+    out["scaling_efficiency_pages"] = round(n4["pages_per_s"] / (factor * n["pages_per_s"]), 3)
+    out["scaling_efficiency_images"] = round(n4["images_per_s"] / (factor * n["images_per_s"]), 3)
+    return out
+
+
+def _run_crawl_leg(cores: int, wh: str) -> dict:
         # taskset pins the child to `cores` executor CPUs + 2 driver
         # CPUs. Unpinned, a local[N] JVM on an idle big box borrows
         # arbitrary extra cores (Arrow feeder threads + Python workers
@@ -137,31 +182,26 @@ def run_crawl_bench() -> dict:
         # real cluster the driver is a separate node. N + 2 with the
         # same +2 at both levels models executors-plus-driver-node
         # faithfully; the N->4N ratio compares executor cores only.
-        pin = ["taskset", "-c", f"0-{cores + 1}"]
-        proc = subprocess.run(
-            pin + [sys.executable, os.path.abspath(__file__), "--crawl-child", str(cores), str(CRAWL_SEEDS), wh],
-            capture_output=True,
-            text=True,
-            timeout=5400,
-            cwd=REPO,
-        )
-        if proc.returncode != 0:
-            log(proc.stderr[-3000:])
-            raise RuntimeError(f"crawl child at {cores} cores failed")
-        stats = json.loads(proc.stdout.strip().splitlines()[-1])
-        log(f"[bench] local[{cores}]: {stats}")
-        out[f"local[{cores}]"] = stats
-    n, n4 = out[f"local[{lo}]"], out[f"local[{hi}]"]
-    factor = hi / lo
-    out["cores"] = {"n": lo, "xn": hi}
-    out["scaling_efficiency_pages"] = round(n4["pages_per_s"] / (factor * n["pages_per_s"]), 3)
-    out["scaling_efficiency_images"] = round(n4["images_per_s"] / (factor * n["images_per_s"]), 3)
-    return out
+    pin = ["taskset", "-c", f"0-{cores + 1}"]
+    proc = subprocess.run(
+        pin + [sys.executable, os.path.abspath(__file__), "--crawl-child", str(cores), str(CRAWL_SEEDS), wh],
+        capture_output=True,
+        text=True,
+        timeout=5400,
+        cwd=REPO,
+    )
+    if proc.returncode != 0:
+        log(proc.stderr[-3000:])
+        raise RuntimeError(f"crawl child at {cores} cores failed")
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    log(f"[bench] local[{cores}]: {stats}")
+    return stats
 
 
 def write_bench_md(queries: dict, crawl: dict, sf_dir: str, total: float) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     lo, hi = CORES_PAIR
+    factor = hi // lo if hi % lo == 0 else round(hi / lo, 2)
     n, n4 = crawl.get(f"local[{lo}]", {}), crawl.get(f"local[{hi}]", {})
     lines = [
         "# BENCH — measured results",
@@ -170,14 +210,14 @@ def write_bench_md(queries: dict, crawl: dict, sf_dir: str, total: float) -> Non
         f"crawl bench: {CRAWL_SEEDS} seeds, max {MAX_IMAGES} images/title, fixed politeness budget",
         "(budget_html=65536, budget_img=524288 per host per iteration) at BOTH parallelism levels.",
         "",
-        "## Scaling (sandbox evidence for the N -> 4N criterion)",
+        f"## Scaling (sandbox evidence for the N -> {factor}N criterion)",
         "",
         "| run | wall s | pages | pages/s | image blobs | images/s |",
         "|---|---|---|---|---|---|",
         f"| local[{lo}] (N) | {n.get('wall_s')} | {n.get('pages')} | {n.get('pages_per_s')} | {n.get('image_blobs')} | {n.get('images_per_s')} |",
-        f"| local[{hi}] (4N) | {n4.get('wall_s')} | {n4.get('pages')} | {n4.get('pages_per_s')} | {n4.get('image_blobs')} | {n4.get('images_per_s')} |",
+        f"| local[{hi}] ({factor}N) | {n4.get('wall_s')} | {n4.get('pages')} | {n4.get('pages_per_s')} | {n4.get('image_blobs')} | {n4.get('images_per_s')} |",
         "",
-        f"**Scaling efficiency N->4N**: pages {crawl.get('scaling_efficiency_pages')}, "
+        f"**Scaling efficiency N->{factor}N**: pages {crawl.get('scaling_efficiency_pages')}, "
         f"images {crawl.get('scaling_efficiency_images')} (target >= 0.8).",
         "",
         "Politeness budgets are independent of parallelism, so the ratio measures",
@@ -209,11 +249,15 @@ def main() -> None:
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    prune_bench_tmp()  # sweep orphans from crashed prior runs (ENOSPC guard)
     t0 = time.time()
     queries = run_query_suite(sf_dir, cpus)
     crawl = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_CRAWL", "") != "1":
-        crawl = run_crawl_bench()
+    try:
+        if os.environ.get("SPARK_GRAFT_BENCH_SKIP_CRAWL", "") != "1":
+            crawl = run_crawl_bench()
+    finally:
+        prune_bench_tmp()
     total = time.time() - t0
     sf = 0.1
     try:

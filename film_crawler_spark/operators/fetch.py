@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from film_crawler_spark.functions.images import decode_image, phash64
 from film_crawler_spark.operators.politeness import PolitenessConfig, TokenBucket
-from film_crawler_spark.sources.synthetic_site import SiteConfig, SyntheticSite
+from film_crawler_spark.sources.synthetic_site import MEDIA_KINDS, SiteConfig, SyntheticSite
 
 # Blob rows carry their decoded metadata out of the SAME fetch pass:
 # the bytes are already in Python memory here, so decoding costs one
@@ -108,7 +108,7 @@ def fetch_batch(
 
     if media_parallelism is None:
         media_parallelism = dequeued.sparkSession.sparkContext.defaultParallelism
-    is_blob = F.col("page_kind") == "image_blob"
+    is_blob = F.col("page_kind").isin(*MEDIA_KINDS)
     if pol.delay_s > 0:
         # rate-limited mode: one host's pages = one task, fetched in exact
         # (priority, seq) order so the inter-request delay is precise

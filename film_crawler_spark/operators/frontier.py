@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from film_crawler_spark.sources.synthetic_site import MEDIA_KINDS
+
 FRONTIER_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -50,6 +52,9 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("tt", T.StringType()),
         T.StructField("rm", T.StringType()),
         T.StructField("nm", T.StringType()),
+        T.StructField("vi", T.StringType()),
+        T.StructField("ev", T.StringType()),
+        T.StructField("co", T.StringType()),
         T.StructField("attempts", T.IntegerType()),
         T.StructField("discovered_at_iter", T.IntegerType()),
     ]
@@ -58,6 +63,47 @@ FRONTIER_SCHEMA = T.StructType(
 
 def seed_seq(rank: int) -> str:
     return f"{rank:012d}"
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_name: str = "rank",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global dense 0-based rank over ``order_cols`` WITHOUT a single-task
+    global window (the round-1 scale-killer: ``Window.orderBy`` with no
+    partition key funnels every row through one task).
+
+    Plan: range-partition by the sort key (partition id then increases
+    along the global order), rank within each partition in parallel,
+    compute per-partition row counts (a tiny P-row aggregate), turn them
+    into cumulative offsets with a window over the P-row side only, and
+    broadcast-join the offsets back. All declarative — no driver action,
+    no collect — and every wide stage is keyed by the sort key, so the
+    plan survives a 10^10-row seed list: the only serial work is the
+    P-row offset window.
+
+    ``order_cols``: list of Columns (may carry .desc()). Ranks are total
+    and deterministic when the key is unique (seeds are distinct ids).
+    """
+    args = [num_partitions] if num_partitions else []
+    p = df.repartitionByRange(*args, *order_cols)
+    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    x = p.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_rn", F.row_number().over(w_in)
+    )
+    counts = x.groupBy("_pid").agg(F.count("*").alias("_c"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_pid", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        x.join(F.broadcast(offs), "_pid")
+        .withColumn(rank_name, (F.col("_rn") + F.col("_off") - 1 + start).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
 
 
 def child_seq(parent_seq: str, ordinal: int) -> str:
@@ -77,7 +123,7 @@ def dequeue(
     a window over (host, kind-group) with a kind-dependent cap."""
     cols = pending.columns
     order = [F.col("priority").asc(), F.col("seq").asc()]
-    grp = (F.col("page_kind") == "image_blob").cast("int")
+    grp = F.col("page_kind").isin(*MEDIA_KINDS).cast("int")
     cap = F.when(grp == 1, F.lit(budget_img)).otherwise(F.lit(budget_html))
     local = pending.withColumn("_grp", grp)
     if n_salts > 1:

@@ -26,7 +26,10 @@ from pyspark.sql import types as T
 
 from film_crawler_spark.functions.urls import canonicalize_url, n_pages, ori_url, url_host
 from film_crawler_spark.operators.frontier import child_seq
-from film_crawler_spark.sources.synthetic_site import PER_PAGE, PER_PAGE_HIST, SECTIONS
+from film_crawler_spark.sources.synthetic_site import (
+    MEDIA_KINDS, PER_PAGE, PER_PAGE_CO, PER_PAGE_HIST, PER_PAGE_VIDEO,
+    PSECTIONS, SECTIONS,
+)
 
 # frontier columns the parse UDF emits; url_hash/shard are added JVM-side
 # afterwards (xxhash64/murmur3 must come from Spark so they are the same
@@ -43,6 +46,9 @@ DISCOVERED_SCHEMA = T.StructType(
         T.StructField("tt", T.StringType()),
         T.StructField("rm", T.StringType()),
         T.StructField("nm", T.StringType()),
+        T.StructField("vi", T.StringType()),
+        T.StructField("ev", T.StringType()),
+        T.StructField("co", T.StringType()),
     ]
 )
 
@@ -88,8 +94,24 @@ RENDITION_SCHEMA = T.StructType(
     ]
 )
 
-_RE_COUNT = re.compile(r'class="image-count">([\d,]+) Photos')
+# counts appear under BOTH layouts (P6): layout A class selectors, layout
+# B data-testid (reference's try/except becomes a regex alternation here;
+# the HERO parse below keeps the explicit two-step dispatch)
+_RE_COUNT = re.compile(r'(?:class="image-count"|data-testid="photos-link")>([\d,]+) Photos')
+_RE_VCOUNT = re.compile(r'(?:class="video-count"|data-testid="videos-link")>([\d,]+) Videos')
 _RE_HERO = re.compile(r"<h1>(.*?)</h1>.*?rating\">([\d.]+)/10</span>.*?metascore\">(\d+)<", re.S)
+# layout B hero (reference except-branch, spiders.py:352-362)
+_RE_HERO_B = re.compile(
+    r'data-testid="hero-title-block__title">(.*?)</h1>.*?'
+    r'data-testid="hero-rating">([\d.]+)</div>.*?'
+    r'class="score-meta">(\d+)<',
+    re.S,
+)
+_RE_VIDEO_ITEM = re.compile(r'<a data-video="(vi\d+)">')
+_RE_VIDEO_URL = re.compile(r'"videoUrl":"([^"]+)"')
+_RE_EVENT_LINK = re.compile(r'data-link="(https://[^"]+/event/(ev\d+)/)"')
+_RE_CO_LINK = re.compile(r'data-link="(https://[^"]+/search/title/\?companies=(co\d+))"')
+_RE_CO_COUNT = re.compile(r"of ([\d,]+) titles")
 _RE_GRID = re.compile(r'href="(/title/(tt\d+)/mediaviewer/(rm\d+))"')
 _RE_CAPTION = re.compile(r'class="caption">(.*?)</div>')
 _RE_SIZED = re.compile(r'data-size="(small|large)" src="([^"]+)"')
@@ -109,14 +131,19 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
     the crawl graph discover nothing, and their binary bodies are the
     bulk of the fetched bytes — shipping them into Python here would
     dominate the discovery pass at media-heavy iterations."""
-    fetched_ok = fetched_ok.filter(F.col("kind") != "image_blob")
+    fetched_ok = fetched_ok.filter(~F.col("kind").isin(*MEDIA_KINDS))
     cols = [f.name for f in DISCOVERED_SCHEMA.fields]
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def row(u, host, priority, seq, depth, kind, tt=None, rm=None, nm=None,
+                vi=None, ev=None, co=None):
+            return (u, canonicalize_url(u), host, priority, seq, depth, kind,
+                    tt, rm, nm, vi, ev, co)
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                body = r.body.decode("utf-8", "replace") if r.kind != "image_blob" else ""
+                body = r.body.decode("utf-8", "replace") if r.kind not in MEDIA_KINDS else ""
                 base = f"https://{r.host}"
                 if r.kind == "title":
                     m = _RE_COUNT.search(body)
@@ -124,10 +151,8 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
                     pages = n_pages(n, PER_PAGE)
                     for p in range(1, pages + 1):
                         u = f"{base}/title/{r.tt}/mediaindex?page={p}"
-                        rows.append(
-                            (u, canonicalize_url(u), r.host, 1, child_seq(r.seq, p - 1), 1,
-                             "mediaindex", r.tt, None, None)
-                        )
+                        rows.append(row(u, r.host, 1, child_seq(r.seq, p - 1), 1,
+                                        "mediaindex", tt=r.tt))
                     # F6 subpage fan-out (reference spiders.py:310-329):
                     # section URLs are CONSTRUCTED from the title URL, not
                     # parsed from links; ordinals continue after the
@@ -135,60 +160,109 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
                     # images-then-sections fetch order (spiders.py:370-442)
                     for s_i, sec in enumerate(SECTIONS):
                         u = r.url + sec  # title urls end with '/'
-                        rows.append(
-                            (u, canonicalize_url(u), r.host, 1,
-                             child_seq(r.seq, pages + s_i), 1, "section", r.tt, None, None)
-                        )
-                    # reviews: ONE crawl URL per title; the load-more
-                    # cursor loop lives in the resolver (S5 semantics —
-                    # reference spiders.py:1508-1564 drives one browser
-                    # page, so the seen set holds one URL)
-                    u = r.url + "reviews"
-                    rows.append(
-                        (u, canonicalize_url(u), r.host, 1,
-                         child_seq(r.seq, pages + len(SECTIONS)), 1, "reviews", r.tt, None, None)
-                    )
+                        rows.append(row(u, r.host, 1, child_seq(r.seq, pages + s_i), 1,
+                                        "section", tt=r.tt))
+                    # reviews / news / ratings: ONE crawl URL each per
+                    # title; scroll/load-more cursor loops live in the
+                    # resolver (S5 semantics — reference spiders.py:
+                    # 1508-1564 reviews, 4652-4704 news, 4962-5040 ratings)
+                    o = pages + len(SECTIONS)
+                    for extra_i, (suffix, kind) in enumerate(
+                        [("reviews", "reviews"), ("news", "news"), ("ratings", "ratings")]
+                    ):
+                        u = r.url + suffix
+                        rows.append(row(u, r.host, 1, child_seq(r.seq, o + extra_i), 1,
+                                        kind, tt=r.tt))
+                    # F2 video pagination (reference getAllvideos,
+                    # spiders.py:792-799: ceil(n/PER_PAGE_OF_VIDEO) pages)
+                    vm = _RE_VCOUNT.search(body)
+                    nv = int(vm.group(1).replace(",", "")) if vm else 0
+                    for p in range(1, n_pages(nv, PER_PAGE_VIDEO) + 1):
+                        u = f"{base}/title/{r.tt}/videogallery?page={p}"
+                        rows.append(row(u, r.host, 1, child_seq(r.seq, o + 3 + p - 1), 1,
+                                        "videogallery", tt=r.tt))
                 elif r.kind == "mediaindex":
                     for j, m in enumerate(_RE_GRID.finditer(body)):
                         u = base + m.group(1)
-                        rows.append(
-                            (u, canonicalize_url(u), r.host, 2, child_seq(r.seq, j), 2,
-                             "photo_detail", m.group(2), m.group(3), None)
-                        )
+                        rows.append(row(u, r.host, 2, child_seq(r.seq, j), 2,
+                                        "photo_detail", tt=m.group(2), rm=m.group(3)))
+                elif r.kind == "videogallery":
+                    # grid -> per-video player page (reference get_cur_video
+                    # builds /videoplayer/<vi>, spiders.py:824-827)
+                    for j, m in enumerate(_RE_VIDEO_ITEM.finditer(body)):
+                        u = f"{base}/videoplayer/{m.group(1)}"
+                        rows.append(row(u, r.host, 2, child_seq(r.seq, j), 2,
+                                        "video_player", tt=r.tt, vi=m.group(1)))
+                elif r.kind == "video_player":
+                    # X12-style embedded-script mp4 extraction (reference
+                    # '"videoUrl":"(\S+?)"' + '.mp4?' filter, spiders.py:845-852)
+                    mp4 = next(
+                        (u for u in _RE_VIDEO_URL.findall(body) if re.search(r"\.mp4\?", u)),
+                        None,
+                    )
+                    if mp4:
+                        rows.append(row(mp4, url_host(mp4), 3, child_seq(r.seq, 0), 3,
+                                        "video_blob", tt=r.tt, vi=r.vi))
                 elif r.kind == "section":
                     # cross-entity discovery (reference nmIMDB spider is
                     # seeded from cast links; here the fullcredits section
-                    # IS the link source, spiders.py:1359-1419 cast ids)
+                    # IS the link source, spiders.py:1359-1419 cast ids).
+                    # awards rows seed the ev crawl (J2/J4 analogue: the
+                    # reference builds evids from awards.csv, utils.py) and
+                    # companies rows seed the co crawl (spiders.py:3441-3448)
                     for j, m in enumerate(_RE_PERSON_LINK.finditer(body)):
                         u, nm_id = m.group(1), m.group(2)
-                        rows.append(
-                            (u, canonicalize_url(u), url_host(u), 2,
-                             child_seq(r.seq, j), 2, "person", None, None, nm_id)
-                        )
+                        rows.append(row(u, url_host(u), 2, child_seq(r.seq, j), 2,
+                                        "person", nm=nm_id))
+                    for j, m in enumerate(_RE_EVENT_LINK.finditer(body)):
+                        u, ev_id = m.group(1), m.group(2)
+                        rows.append(row(u, url_host(u), 2, child_seq(r.seq, j), 2,
+                                        "event", ev=ev_id))
+                    for j, m in enumerate(_RE_CO_LINK.finditer(body)):
+                        u, co_id = m.group(1), m.group(2)
+                        rows.append(row(u, url_host(u), 2, child_seq(r.seq, j), 2,
+                                        "company", co=co_id))
                 elif r.kind == "person":
                     m = _RE_CREDITS.search(body)
                     n = int(m.group(1).replace(",", "")) if m else 0
-                    for p in range(1, n_pages(n, PER_PAGE_HIST) + 1):
+                    fp = n_pages(n, PER_PAGE_HIST)
+                    for p in range(1, fp + 1):
                         u = f"{base}/name/{r.nm}/filmosearch?page={p}"
-                        rows.append(
-                            (u, canonicalize_url(u), r.host, 3, child_seq(r.seq, p - 1), 3,
-                             "filmo", None, None, r.nm)
-                        )
+                        rows.append(row(u, r.host, 3, child_seq(r.seq, p - 1), 3,
+                                        "filmo", nm=r.nm))
+                    # person aux subpages (reference spiders.py:2211-2225);
+                    # ordinals continue after the filmography pages
+                    for s_i, sec in enumerate(PSECTIONS):
+                        u = f"{base}/name/{r.nm}/{sec}"
+                        rows.append(row(u, r.host, 3, child_seq(r.seq, fp + s_i), 3,
+                                        "psection", nm=r.nm))
+                elif r.kind == "company":
+                    # count page -> &start= pagination (reference
+                    # get_co_info, spiders.py:3322-3330)
+                    m = _RE_CO_COUNT.search(body)
+                    n = int(m.group(1).replace(",", "")) if m else 0
+                    for p in range(n_pages(n, PER_PAGE_CO)):
+                        u = f"{r.url}&start={1 + p * PER_PAGE_CO}"
+                        rows.append(row(u, r.host, 3, child_seq(r.seq, p), 3,
+                                        "co_page", co=r.co))
                 elif r.kind == "photo_detail":
                     sized = dict(_RE_SIZED.findall(body))
                     small, large = sized.get("small"), sized.get("large")
                     if small and large:
                         for j, u in enumerate([small, large, ori_url(large)]):
-                            rows.append(
-                                (u, canonicalize_url(u), url_host(u), 3, child_seq(r.seq, j), 3,
-                                 "image_blob", r.tt, r.rm, None)
-                            )
+                            rows.append(row(u, url_host(u), 3, child_seq(r.seq, j), 3,
+                                            "image_blob", tt=r.tt, rm=r.rm))
             yield pd.DataFrame(rows, columns=cols)
 
     return fetched_ok.mapInPandas(_run, DISCOVERED_SCHEMA)
 
 
 def extract_titles(fetched_ok: DataFrame) -> DataFrame:
+    """Hero fields under the P6 dual-layout dispatch (reference
+    spiders.py:339-362): try the old class selectors first; on miss,
+    fall back to the data-testid layout — the regex twin of the
+    reference's try/except selector switch."""
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -196,7 +270,7 @@ def extract_titles(fetched_ok: DataFrame) -> DataFrame:
                 if r.kind != "title":
                     continue
                 body = r.body.decode("utf-8", "replace")
-                hero = _RE_HERO.search(body)
+                hero = _RE_HERO.search(body) or _RE_HERO_B.search(body)
                 cnt = _RE_COUNT.search(body)
                 if hero:
                     rows.append(
@@ -316,9 +390,12 @@ def extract_reviews(fetched_ok: DataFrame) -> DataFrame:
     """getEachReview twin (reference spiders.py:1566-1597, 4491-4528):
     reviews.csv columns (rating, title, name, ID, date, text, action).
     The loaded-all marker (reference's termination condition,
-    spiders.py:1544-1549) must be present — a truncated page (load-more
-    loop interrupted) yields NO rows so the retry policy re-fetches
-    rather than committing a partial list."""
+    spiders.py:1544-1549) must be present — a 200 page missing it (a
+    load-more loop interrupted server-side) yields NO review rows: the
+    partial list is dropped rather than committed. NOTE the page is
+    still marked seen (a 200 commits to the seen set), so recovery for
+    a real site is ``--repair`` after the resolver heals, not an
+    automatic re-fetch; the synthetic resolver always emits the marker."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -357,6 +434,15 @@ SECTION_COLUMNS = {
     "trivia": ["text"],
     "plotsummary": ["text", "author"],
     "fullcredits": ["nm_id", "name", "character"],
+    # round-2 additions (reference spiders.py:1008-1284 / SURVEY §1.3)
+    "externalreviews": ["text", "url"],
+    "parentalguide": ["cate", "severity", "text"],
+    "faqs": ["question", "answer"],
+    "soundtracks": ["text"],
+    "movieconnections": ["type", "link_id", "text"],
+    "goofs": ["text"],
+    "crazycredits": ["text"],
+    "alternateversions": ["text"],
 }
 
 
@@ -390,6 +476,399 @@ def section_view(sections: DataFrame, sec: str) -> DataFrame:
         "tt", "ord", *[F.col(f"f{i + 1}").alias(c) for i, c in enumerate(cols)]
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# round-2 extractors: videos / news / ratings / person aux / events / cos
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("vi", T.StringType()),
+        T.StructField("tt", T.StringType()),
+        T.StructField("mp4_url", T.StringType()),
+    ]
+)
+
+NEWS_SCHEMA = T.StructType(
+    [
+        T.StructField("tt", T.StringType()),
+        T.StructField("ord", T.IntegerType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("author", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("img_url", T.StringType()),
+        T.StructField("img_alt", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+RATINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("tt", T.StringType()),
+        T.StructField("tot_users", T.LongType()),
+        T.StructField("weighted_avg", T.StringType()),
+        T.StructField("rating_by_score", T.StringType()),
+        T.StructField("arithmetic_mean", T.StringType()),
+        T.StructField("median", T.StringType()),
+        T.StructField("rating_by_demographic", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("rating_by_users", T.StringType()),
+    ]
+)
+
+PSECTION_SCHEMA = T.StructType(
+    [T.StructField("nm", T.StringType()), T.StructField("section", T.StringType()),
+     T.StructField("ord", T.IntegerType())]
+    + [T.StructField(f"f{i}", T.StringType()) for i in range(1, 7)]
+)
+
+PSECTION_COLUMNS = {
+    "bio": ["cate", "label", "value"],
+    "otherworks": ["text"],
+    "publicity": ["cate", "label", "value"],
+    "externalsites": ["cate", "external_url", "text"],
+    # reference person 6-col awards.csv (spiders.py:2291-2331)
+    "awards": ["title", "year", "ev_id", "award_outcome", "award_category", "award_descriptions"],
+}
+
+EVENT_BASE_SCHEMA = T.StructType(
+    [
+        T.StructField("ev", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("sub_name", T.StringType()),
+        T.StructField("year", T.StringType()),
+        T.StructField("layout", T.StringType()),
+    ]
+)
+
+EVENT_AWARD_SCHEMA = T.StructType(
+    [
+        T.StructField("ev", T.StringType()),
+        T.StructField("ord", T.IntegerType()),
+        T.StructField("award_name", T.StringType()),
+        T.StructField("cate_name", T.StringType()),
+        T.StructField("is_winner", T.StringType()),
+        T.StructField("img_url", T.StringType()),
+        T.StructField("primary_names", T.StringType()),
+        T.StructField("primary_ids", T.StringType()),
+        T.StructField("secondary_names", T.StringType()),
+        T.StructField("secondary_ids", T.StringType()),
+        T.StructField("notes", T.StringType()),
+    ]
+)
+
+COMPANY_BASE_SCHEMA = T.StructType(
+    [
+        T.StructField("co", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("n_titles", T.IntegerType()),
+    ]
+)
+
+CO_FILM_FIELDS = [
+    "tt", "title_name", "img_url", "certificate", "runtime", "genre",
+    "rating", "metascore", "describe", "directors", "directors_ids",
+    "stars", "stars_ids", "votes", "gross",
+]
+
+COMPANY_FILM_SCHEMA = T.StructType(
+    [T.StructField("co", T.StringType()), T.StructField("page", T.IntegerType()),
+     T.StructField("ord", T.IntegerType())]
+    + [T.StructField(c, T.StringType()) for c in CO_FILM_FIELDS]
+)
+
+_RE_NEWS_ART = re.compile(
+    r'<article class="news-article"><h2 class="news-article__title">'
+    r'<a href="([^"]*)">(.*?)</a></h2>'
+    r'<li class="news-article__date">(.*?)</li>'
+    r'<li class="news-article__author">(.*?)</li>'
+    r'<li class="news-article__source">(.*?)</li>'
+    r'<img class="news-article__image" src="([^"]*)" alt="([^"]*)"/>'
+    r'<div class="news-article__content">(.*?)</div></article>'
+)
+_RE_RATINGS_HEAD = re.compile(
+    r'class="allText">([\d,]+) IMDb users have given a weighted average vote of ([\d.]+) / 10'
+)
+_RE_RATINGS_SCORE = re.compile(r'class="by-score">(.*?)</div>')
+_RE_RATINGS_STATICS = re.compile(r"Arithmetic mean = ([\d.]+)\. Median = ([\d.]+)\.")
+_RE_RATINGS_USERS = re.compile(r'class="by-users">(.*?)</div>')
+_RE_DEMO_ROW = re.compile(r'<tr data-cate="([^"]+)">(.*?)</tr>', re.S)
+_RE_DEMO_CELL = re.compile(
+    r'<td data-col="([^"]+)"><div class="bigcell">([\d.]+)</div>'
+    r'<div class="smallcell">(\d+)</div></td>'
+)
+_RE_PSEC_ROW = re.compile(
+    r'<tr class="psec-row">' + r"<td>(.*?)</td>" * 6 + r"</tr>"
+)
+_RE_EVENT_LAYOUT = re.compile(r"data-layout='(dom|json)'")
+_RE_EVENT_DOM_HEAD = re.compile(
+    r'class="event-header__title">(.*?)</div>.*?'
+    r'class="event-header__subtitle">(.*?)</div>.*?'
+    r'class="event-year-header__year">(\d+)',
+    re.S,
+)
+_RE_EVENT_DOM_AWARD = re.compile(
+    r'<div class="event-widgets__award"><div class="award-name">(.*?)</div>'
+    r'<div class="award-category-name">(.*?)</div>'
+    r'<div class="winner-flag">(.*?)</div>'
+    r'<img class="nominee-image" src="([^"]*)"/>'
+    r'<span class="primary-nominee" data-id="([^"]*)">(.*?)</span>'
+    r'<span class="secondary-nominee" data-id="([^"]*)">(.*?)</span>'
+    r'<div class="nomination-notes">(.*?)</div></div>'
+)
+_RE_EVENT_JSON = re.compile(r"\(\['nominees-widget-lite', (\{.*\})\]\);</script>", re.S)
+_RE_CO_HEADER = re.compile(r'class="header">With (.*?) \(')
+_RE_CO_START = re.compile(r"data-start='(\d+)'")
+_RE_CO_FILM_ROW = re.compile(r'<tr class="co-film">((?:<td>.*?</td>){15})</tr>')
+_RE_TD = re.compile(r"<td>(.*?)</td>")
+
+
+def extract_videos(fetched_ok: DataFrame) -> DataFrame:
+    """getAllvideos/get_cur_video twin (reference spiders.py:792-863):
+    one (vi, tt, mp4_url) row per video player page, the engine's
+    videos.csv (url, ID — reference spiders.py:501-511)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video_player":
+                    continue
+                body = r.body.decode("utf-8", "replace")
+                mp4 = next(
+                    (u for u in _RE_VIDEO_URL.findall(body) if re.search(r"\.mp4\?", u)),
+                    None,
+                )
+                if mp4:
+                    rows.append((r.vi, r.tt, mp4))
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
+
+    return fetched_ok.filter(F.col("kind") == "video_player").mapInPandas(_run, VIDEO_SCHEMA)
+
+
+def extract_video_files(fetched_ok: DataFrame) -> DataFrame:
+    """video_blob rows -> (vi, tt, bytes, n_bytes). Pure JVM projection —
+    the payload is opaque (the reference streams mp4 chunks to a file
+    without decoding, spiders.py:3876-3897)."""
+    return fetched_ok.filter(F.col("kind") == "video_blob").select(
+        "vi", "tt", F.col("body").alias("bytes"), F.length("body").alias("n_bytes")
+    )
+
+
+def extract_news(fetched_ok: DataFrame) -> DataFrame:
+    """getEachNews twin (reference spiders.py:4706-4762): 8-col news rows.
+    The page displays newest-first; the parser REVERSES before emitting
+    (newses.reverse(), spiders.py:4690 — O5), so ``ord`` is oldest-first.
+    Same loaded-all completeness contract as reviews."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "news":
+                    continue
+                body = r.body.decode("utf-8", "replace")
+                if not _RE_LOADED_ALL.search(body):
+                    continue
+                arts = _RE_NEWS_ART.findall(body)
+                for i, (url, title, date, author, source, img_url, img_alt, content) in enumerate(
+                    reversed(arts)
+                ):
+                    rows.append((r.tt, i, title, url, date, author, source,
+                                 img_url, img_alt, content))
+            yield pd.DataFrame(rows, columns=[f.name for f in NEWS_SCHEMA.fields])
+
+    return fetched_ok.filter(F.col("kind") == "news").mapInPandas(_run, NEWS_SCHEMA)
+
+
+def extract_ratings(fetched_ok: DataFrame) -> DataFrame:
+    """getRatings twin (reference spiders.py:4962-5040): the 3 rating
+    tables + the demographics grid as a MapType column (SURVEY §1.2's
+    nested-data modernization of the reference's dict-literal string)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "ratings":
+                    continue
+                body = r.body.decode("utf-8", "replace")
+                head = _RE_RATINGS_HEAD.search(body)
+                if not head:
+                    continue
+                by_score = _RE_RATINGS_SCORE.search(body)
+                statics = _RE_RATINGS_STATICS.search(body)
+                by_users = _RE_RATINGS_USERS.search(body)
+                demo = {}
+                for cate, cells in _RE_DEMO_ROW.findall(body):
+                    for col, score, votes in _RE_DEMO_CELL.findall(cells):
+                        demo[f"{cate}|{col}"] = f"{score},{votes}"
+                rows.append(
+                    (
+                        r.tt,
+                        int(head.group(1).replace(",", "")),
+                        head.group(2),
+                        by_score.group(1) if by_score else None,
+                        statics.group(1) if statics else None,
+                        statics.group(2) if statics else None,
+                        demo,
+                        by_users.group(1) if by_users else None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RATINGS_SCHEMA.fields])
+
+    return fetched_ok.filter(F.col("kind") == "ratings").mapInPandas(_run, RATINGS_SCHEMA)
+
+
+def extract_psections(fetched_ok: DataFrame) -> DataFrame:
+    """Person aux subpages -> tall (nm, section, ord, f1..f6) rows
+    (reference bio/otherworks/publicity/external_sites/person-awards,
+    spiders.py:2291-2623). Awards uses all six fields; the rest f1..f3."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "psection":
+                    continue
+                body = r.body.decode("utf-8", "replace")
+                km = _RE_SEC_KIND.search(body)
+                sec = km.group(1) if km else None
+                for i, m in enumerate(_RE_PSEC_ROW.finditer(body)):
+                    fs = tuple(g if g else None for g in m.groups())
+                    rows.append((r.nm, sec, i, *fs))
+            yield pd.DataFrame(rows, columns=[f.name for f in PSECTION_SCHEMA.fields])
+
+    return fetched_ok.filter(F.col("kind") == "psection").mapInPandas(_run, PSECTION_SCHEMA)
+
+
+def psection_view(psections: DataFrame, sec: str) -> DataFrame:
+    """Typed projection matching the reference's per-file person CSVs."""
+    cols = PSECTION_COLUMNS[sec]
+    return psections.filter(F.col("section") == sec).select(
+        "nm", "ord", *[F.col(f"f{i + 1}").alias(c) for i, c in enumerate(cols)]
+    )
+
+
+def extract_events(fetched_ok: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """getEvent twin (reference spiders.py:2668-2833): event hero + 9-col
+    award rows, under the dual-layout dispatch — DOM selectors when the
+    page renders the widget, embedded-JSON extraction (X12) otherwise.
+    Returns (events_base, event_awards)."""
+    import json as _json
+
+    def _base(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "event":
+                    continue
+                body = r.body.decode("utf-8", "replace")
+                lay = _RE_EVENT_LAYOUT.search(body)
+                layout = lay.group(1) if lay else None
+                if layout == "dom":
+                    h = _RE_EVENT_DOM_HEAD.search(body)
+                    if h:
+                        rows.append((r.ev, h.group(1), h.group(2), h.group(3), layout))
+                else:
+                    jm = _RE_EVENT_JSON.search(body)
+                    if jm:
+                        model = _json.loads(jm.group(1))["nomineesWidgetModel"]
+                        s = model["eventEditionSummary"]
+                        rows.append((r.ev, s["eventName"], "", str(s["year"]), layout))
+            yield pd.DataFrame(rows, columns=[f.name for f in EVENT_BASE_SCHEMA.fields])
+
+    def _awards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "event":
+                    continue
+                body = r.body.decode("utf-8", "replace")
+                lay = _RE_EVENT_LAYOUT.search(body)
+                layout = lay.group(1) if lay else None
+                if layout == "dom":
+                    for i, m in enumerate(_RE_EVENT_DOM_AWARD.finditer(body)):
+                        aw, cate, win, img, pid, pn, sid, sn, notes = m.groups()
+                        rows.append((r.ev, i, aw, cate, win, img, pn, pid, sn, sid, notes))
+                else:
+                    jm = _RE_EVENT_JSON.search(body)
+                    if not jm:
+                        continue
+                    model = _json.loads(jm.group(1))["nomineesWidgetModel"]
+                    i = 0
+                    for award in model["eventEditionSummary"]["awards"]:
+                        for cate in award["categories"]:
+                            for nom in cate["nominations"]:
+                                img = ""
+                                pns, pids = [], []
+                                for nominee in nom["primaryNominees"]:
+                                    if nominee.get("imageUrl"):
+                                        img = nominee["imageUrl"]
+                                    pns.append(nominee["name"])
+                                    pids.append(nominee["const"])
+                                sns = [x["name"] for x in nom["secondaryNominees"]]
+                                sids = [x["const"] for x in nom["secondaryNominees"]]
+                                rows.append(
+                                    (
+                                        r.ev, i, award["awardName"],
+                                        cate["categoryName"] or "",
+                                        "Winner" if nom["isWinner"] else "not Winner",
+                                        img, ",".join(pns), ",".join(pids),
+                                        ",".join(sns), ",".join(sids),
+                                        nom["notes"] or "",
+                                    )
+                                )
+                                i += 1
+            yield pd.DataFrame(rows, columns=[f.name for f in EVENT_AWARD_SCHEMA.fields])
+
+    evs = fetched_ok.filter(F.col("kind") == "event")
+    return evs.mapInPandas(_base, EVENT_BASE_SCHEMA), evs.mapInPandas(_awards, EVENT_AWARD_SCHEMA)
+
+
+def extract_companies(fetched_ok: DataFrame) -> DataFrame:
+    """Company header page -> (co, name, n_titles) (reference get_co_info
+    count + name parse, spiders.py:3303-3322)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "company":
+                    continue
+                body = r.body.decode("utf-8", "replace")
+                hm = _RE_CO_HEADER.search(body)
+                cm = _RE_CO_COUNT.search(body)
+                if hm:
+                    rows.append((r.co, hm.group(1),
+                                 int(cm.group(1).replace(",", "")) if cm else 0))
+            yield pd.DataFrame(rows, columns=[f.name for f in COMPANY_BASE_SCHEMA.fields])
+
+    return fetched_ok.filter(F.col("kind") == "company").mapInPandas(_run, COMPANY_BASE_SCHEMA)
+
+
+def extract_company_films(fetched_ok: DataFrame) -> DataFrame:
+    """Company search-result pages -> 15-field film rows + (co, page, ord)
+    (reference get_curPage_co, spiders.py:3352-3437)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "co_page":
+                    continue
+                body = r.body.decode("utf-8", "replace")
+                sm = _RE_CO_START.search(body)
+                start = int(sm.group(1)) if sm else 1
+                page = (start - 1) // PER_PAGE_CO + 1
+                for i, m in enumerate(_RE_CO_FILM_ROW.finditer(body)):
+                    tds = _RE_TD.findall(m.group(1))
+                    rows.append((r.co, page, i, *tds))
+            yield pd.DataFrame(rows, columns=[f.name for f in COMPANY_FILM_SCHEMA.fields])
+
+    return fetched_ok.filter(F.col("kind") == "co_page").mapInPandas(_run, COMPANY_FILM_SCHEMA)
 
 
 def decode_blobs(fetched_ok: DataFrame) -> DataFrame:

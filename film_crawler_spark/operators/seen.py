@@ -144,16 +144,29 @@ def filter_unseen(
     seen_exact: DataFrame | None,
     bloom_set: BloomSeenSet,
     bloom: DataFrame | None,
+    delta_exact: DataFrame | None = None,
 ) -> DataFrame:
     """The J1 anti-join with Bloom pre-filter (reference spiders.py:304-308
     semantics — skip-if-crawled — made exact at scale).
 
     candidates: must carry (canon_url, shard, url_hash, ...).
     seen_exact: (canon_url, ...) committed seen rows, or None.
+    delta_exact: (canon_url) rows seen AFTER the ``bloom`` snapshot was
+      built (e.g. the current iteration's fetch delta). Bloom "definitely
+      unseen" is only definitive w.r.t. the snapshot, so when the
+      snapshot lags, the bloom-negative branch must still be anti-joined
+      against the lag window — otherwise a URL fetched and re-discovered
+      in the same iteration is re-enqueued (a T7 exactly-once violation).
+      The delta is iteration-sized (politeness-budget-bounded), so this
+      extra anti-join stays cheap at any frontier scale.
     Returns candidates provably not yet seen, original columns only.
     """
     probed = bloom_set.probe(candidates, bloom)
     definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    if delta_exact is not None:
+        definite_new = definite_new.join(
+            delta_exact.select("canon_url"), on="canon_url", how="left_anti"
+        )
     if seen_exact is None:
         return definite_new.unionByName(probed.filter(F.col("maybe_seen")).drop("maybe_seen"))
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")

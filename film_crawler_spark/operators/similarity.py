@@ -136,23 +136,44 @@ def ann_topk_lsh(
     )
 
 
-def phash_near_dups(images: DataFrame, max_hamming: int = 10, n_bands: int = 8) -> DataFrame:
+def phash_near_dups(
+    images: DataFrame, max_hamming: int | None = None, n_bands: int = 8
+) -> DataFrame:
     """Near-duplicate images by phash Hamming distance via multi-band
-    indexing: the 64-bit hash splits into ``n_bands`` equal bands; two
+    indexing: the 64-bit hash splits into ``n_bands`` contiguous bands
+    (widths differ by at most one bit when 64 % n_bands != 0); two
     hashes within Hamming distance < n_bands are GUARANTEED to agree on
     at least one band (pigeonhole), so the candidate join on
     (band_idx, band_value) has no false negatives up to n_bands-1 flips
     and stays an equi-join (one shuffle) instead of an n^2 scan.
-    Candidates are exact-verified. Returns (id_a, id_b, hamming)."""
-    width = 64 // n_bands
-    mask = (1 << width) - 1
+    Candidates are exact-verified. Returns (id_a, id_b, hamming).
+
+    ``max_hamming`` defaults to ``n_bands - 1`` — the largest distance
+    the band index covers with guaranteed recall. Asking for a larger
+    threshold than the bands guarantee raises instead of silently
+    returning a probabilistic subset (round-1 verdict item 4).
+    """
+    if max_hamming is None:
+        max_hamming = n_bands - 1
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the guaranteed-recall range "
+            f"of {n_bands} bands (<= {n_bands - 1}); raise n_bands"
+        )
+    base, extra = divmod(64, n_bands)
+    shifts, masks, off = [], [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        shifts.append(off)
+        masks.append((1 << width) - 1)
+        off += width
     banded = images.select(
         "image_id",
         "phash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("phash", i * width).bitwiseAND(F.lit(mask))
+                    F.shiftrightunsigned("phash", shifts[i]).bitwiseAND(F.lit(masks[i]))
                     for i in range(n_bands)
                 ]
             )

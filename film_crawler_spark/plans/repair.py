@@ -37,8 +37,11 @@ def build_repair_frontier(io: TableIO, cfg: CrawlConfig, next_it: int) -> DataFr
     dead = io.read_log("dead_letter")
     if dead is None:
         return None
-    # latest attempt per canon_url (a URL can die in several iterations)
-    w = Window.partitionBy("canon_url").orderBy(F.col("attempts").desc())
+    # latest attempt per canon_url (a URL can die in several iterations);
+    # iteration breaks attempts ties so the pick is deterministic
+    w = Window.partitionBy("canon_url").orderBy(
+        F.col("attempts").desc(), F.col("iteration").desc()
+    )
     latest = dead.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     # exclude URLs that eventually fetched OK
     succeeded = io.read_log("fetch_log").filter(F.col("status") == 200).select("canon_url")

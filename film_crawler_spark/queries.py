@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from film_crawler_spark.functions.urls import ori_url_col
 from film_crawler_spark.operators import dedup as D
+from film_crawler_spark.operators import frontier as FR
 from film_crawler_spark.operators import similarity as SIM
 from film_crawler_spark.operators import textops as TX
 
@@ -39,10 +40,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def q_seed_dedup_sort(spark, sf):
     """S1+E2+O1+O2: seed scan -> dedup -> ranked reverse sort
-    (spiders.py:85-99, 172-173)."""
+    (spiders.py:85-99, 172-173). Rank is computed by the distributed
+    range-partition + per-partition-offset plan (no single-task global
+    window — round-1 verdict item 7)."""
     ids = t(spark, sf, "orders").select(F.col("o_custkey").alias("id")).distinct()
-    w = Window.orderBy(F.col("id").desc())
-    return ids.withColumn("rank", F.row_number().over(w).cast("long"))
+    return FR.distributed_rank(ids, [F.col("id").desc()], "rank", start=1).select(
+        "id", "rank"
+    )
 
 
 SQL_SEED_DEDUP_SORT = """
@@ -581,8 +585,12 @@ def q_minhash_lsh_dups(spark, sf):
 
 
 def q_simhash(spark, sf):
-    """SimHash fingerprints; non-SQL (bit ops over word hashes)."""
+    """SimHash fingerprints — pure-JVM md5-based word hashing, so a
+    DuckDB oracle computes the identical value (SQL twin below)."""
     return D.simhash64(t(spark, sf, "documents"))
+
+
+SQL_SIMHASH = D.simhash_oracle_sql("documents")
 
 
 def q_ann_lsh_topk(spark, sf):
@@ -628,6 +636,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "minhash_lsh_dups": (q_minhash_lsh_dups, None),
-    "simhash": (q_simhash, None),
+    "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
 }

@@ -23,9 +23,13 @@ from dataclasses import dataclass, field
 from film_crawler_spark.functions.urls import canonicalize_url, n_pages, ori_url, url_host
 from film_crawler_spark.operators.frontier import child_seq, seed_seq
 from film_crawler_spark.operators.politeness import PolitenessConfig
-from film_crawler_spark.sources.synthetic_site import PER_PAGE, PER_PAGE_HIST, SECTIONS, SiteConfig, SyntheticSite
+from film_crawler_spark.sources.synthetic_site import (
+    MEDIA_KINDS, PER_PAGE, PER_PAGE_CO, PER_PAGE_HIST, PER_PAGE_VIDEO,
+    PSECTIONS, SECTIONS, SiteConfig, SyntheticSite,
+)
 
-_RE_COUNT = re.compile(r'class="image-count">([\d,]+) Photos')
+# both title layouts (P6): class selector or data-testid fallback
+_RE_COUNT = re.compile(r'(?:class="image-count"|data-testid="photos-link")>([\d,]+) Photos')
 _RE_GRID = re.compile(r'href="(/title/(tt\d+)/mediaviewer/(rm\d+))"')
 _RE_SIZED = re.compile(r'data-size="(small|large)" src="([^"]+)"')
 _RE_CAPTION = re.compile(r'class="caption">(.*?)</div>')
@@ -43,6 +47,9 @@ class SimRow:
     tt: str = field(compare=False, default=None)
     rm: str = field(compare=False, default=None)
     nm: str = field(compare=False, default=None)
+    vi: str = field(compare=False, default=None)
+    ev: str = field(compare=False, default=None)
+    co: str = field(compare=False, default=None)
 
 
 @dataclass
@@ -57,6 +64,15 @@ class SimTrace:
     reviews: dict = field(default_factory=dict)  # tt -> [review tuples]
     persons: dict = field(default_factory=dict)  # nm -> (name, jobs, born, n_credits)
     credits: dict = field(default_factory=dict)  # nm -> [(tt, title)] in (page, ord) order
+    videos: dict = field(default_factory=dict)  # vi -> (tt, mp4_url)
+    video_files: dict = field(default_factory=dict)  # vi -> n_bytes
+    news: dict = field(default_factory=dict)  # tt -> [8-col rows] oldest-first
+    ratings: dict = field(default_factory=dict)  # tt -> ratings_fields dict
+    psections: dict = field(default_factory=dict)  # (nm, sec) -> [(f1..f6)]
+    events: dict = field(default_factory=dict)  # ev -> (name, sub, year, layout)
+    event_awards: dict = field(default_factory=dict)  # ev -> [9-col rows]
+    companies: dict = field(default_factory=dict)  # co -> (name, n_titles)
+    company_films: dict = field(default_factory=dict)  # co -> [(15 fields)] in (page, ord) order
 
 
 def simulate(
@@ -94,6 +110,15 @@ def simulate(
     reviews: dict = {}
     persons: dict = {}
     credits: dict = {}
+    videos: dict = {}
+    video_files: dict = {}
+    news: dict = {}
+    ratings: dict = {}
+    psections: dict = {}
+    events: dict = {}
+    event_awards: dict = {}
+    companies: dict = {}
+    company_films: dict = {}
 
     for _ in range(max_iterations):
         if not pending:
@@ -104,8 +129,8 @@ def simulate(
         for r in sorted(pending):
             by_host.setdefault(r.host, []).append(r)
         for host, rows in by_host.items():
-            html = [r for r in rows if r.kind != "image_blob"][: pol.budget_html]
-            img = [r for r in rows if r.kind == "image_blob"][: pol.budget_img]
+            html = [r for r in rows if r.kind not in MEDIA_KINDS][: pol.budget_html]
+            img = [r for r in rows if r.kind in MEDIA_KINDS][: pol.budget_img]
             dequeued.extend(html + img)
         dq_keys = {(r.canon, r.priority, r.seq) for r in dequeued}
         pending = [r for r in pending if (r.canon, r.priority, r.seq) not in dq_keys]
@@ -121,7 +146,7 @@ def simulate(
                 attempt = 1
                 res = site.fetch(r.url, attempt)
                 cap = (
-                    pol.retry_cap_media if r.kind == "image_blob" else pol.retry_cap_500
+                    pol.retry_cap_media if r.kind in MEDIA_KINDS else pol.retry_cap_500
                 )
                 while res.status == 500 and attempt < cap:
                     attempt += 1
@@ -147,13 +172,49 @@ def simulate(
                             SimRow(1, child_seq(r.seq, pages + s_i), u, canonicalize_url(u),
                                    r.host, 1, "section", r.tt)
                         )
-                    u = r.url + "reviews"
-                    discovered.append(
-                        SimRow(1, child_seq(r.seq, pages + len(SECTIONS)), u,
-                               canonicalize_url(u), r.host, 1, "reviews", r.tt)
-                    )
+                    o = pages + len(SECTIONS)
+                    for extra_i, (suffix, kind) in enumerate(
+                        [("reviews", "reviews"), ("news", "news"), ("ratings", "ratings")]
+                    ):
+                        u = r.url + suffix
+                        discovered.append(
+                            SimRow(1, child_seq(r.seq, o + extra_i), u,
+                                   canonicalize_url(u), r.host, 1, kind, r.tt)
+                        )
+                    nv = site.n_videos(r.tt)
+                    for p in range(1, n_pages(nv, PER_PAGE_VIDEO) + 1):
+                        u = f"{base}/title/{r.tt}/videogallery?page={p}"
+                        discovered.append(
+                            SimRow(1, child_seq(r.seq, o + 3 + p - 1), u,
+                                   canonicalize_url(u), r.host, 1, "videogallery", r.tt)
+                        )
                 elif res.kind == "reviews":
                     reviews[r.tt] = site.review_rows(r.tt)
+                elif res.kind == "news":
+                    news[r.tt] = site.news_rows(r.tt)  # oldest-first (O5)
+                elif res.kind == "ratings":
+                    ratings[r.tt] = site.ratings_fields(r.tt)
+                elif res.kind == "videogallery":
+                    pm = re.search(r"data-page='(\d+)'", res.text)
+                    page = int(pm.group(1)) if pm else 1
+                    first = (page - 1) * PER_PAGE_VIDEO
+                    last = min(page * PER_PAGE_VIDEO, site.n_videos(r.tt))
+                    for j, i in enumerate(range(first, last)):
+                        vi = site.vi_id(r.tt, i)
+                        u = f"{base}/videoplayer/{vi}"
+                        discovered.append(
+                            SimRow(2, child_seq(r.seq, j), u, canonicalize_url(u),
+                                   r.host, 2, "video_player", r.tt, vi=vi)
+                        )
+                elif res.kind == "video_player":
+                    mp4 = site.mp4_url(r.vi)
+                    videos[r.vi] = (r.tt, mp4)
+                    discovered.append(
+                        SimRow(3, child_seq(r.seq, 0), mp4, canonicalize_url(mp4),
+                               url_host(mp4), 3, "video_blob", r.tt, vi=r.vi)
+                    )
+                elif res.kind == "video_blob":
+                    video_files[r.vi] = len(res.body)
                 elif res.kind == "section":
                     # ground truth straight from the site (NOT the engine's
                     # parser) — engine-parsed rows must equal these
@@ -167,18 +228,66 @@ def simulate(
                                 SimRow(2, child_seq(r.seq, j), u, canonicalize_url(u),
                                        url_host(u), 2, "person", None, None, nm_id)
                             )
+                    elif sec == "awards":
+                        for j, (_t, ev_id, _d) in enumerate(rows_gt):
+                            u = site.event_url(ev_id)
+                            discovered.append(
+                                SimRow(2, child_seq(r.seq, j), u, canonicalize_url(u),
+                                       url_host(u), 2, "event", ev=ev_id)
+                            )
+                    elif sec == "companies":
+                        for j, (_t, _n2, co_id) in enumerate(rows_gt):
+                            u = site.company_url(co_id)
+                            discovered.append(
+                                SimRow(2, child_seq(r.seq, j), u, canonicalize_url(u),
+                                       url_host(u), 2, "company", co=co_id)
+                            )
                 elif res.kind == "person":
                     persons[r.nm] = (
                         site.person_name(r.nm), site.person_jobs(r.nm),
                         site.person_born(r.nm), site.n_credits(r.nm),
                     )
                     n_cred = site.n_credits(r.nm)
-                    for p in range(1, n_pages(n_cred, PER_PAGE_HIST) + 1):
+                    fp = n_pages(n_cred, PER_PAGE_HIST)
+                    for p in range(1, fp + 1):
                         u = f"{base}/name/{r.nm}/filmosearch?page={p}"
                         discovered.append(
                             SimRow(3, child_seq(r.seq, p - 1), u, canonicalize_url(u),
                                    r.host, 3, "filmo", None, None, r.nm)
                         )
+                    for s_i, sec in enumerate(PSECTIONS):
+                        u = f"{base}/name/{r.nm}/{sec}"
+                        discovered.append(
+                            SimRow(3, child_seq(r.seq, fp + s_i), u, canonicalize_url(u),
+                                   r.host, 3, "psection", None, None, r.nm)
+                        )
+                elif res.kind == "psection":
+                    psections[(r.nm, res.meta["sec"])] = site.psection_rows(r.nm, res.meta["sec"])
+                elif res.kind == "event":
+                    name, sub, year = site.event_fields(r.ev)
+                    layout = "json" if site.uses_alt_layout(r.ev) else "dom"
+                    # the embedded-JSON layout carries no subtitle field
+                    # (reference sets sub_name="" there, spiders.py:2790)
+                    events[r.ev] = (name, sub if layout == "dom" else "", year, layout)
+                    event_awards[r.ev] = site.event_award_rows(r.ev)
+                elif res.kind == "company":
+                    companies[r.co] = (site.company_name(r.co), site.n_co_titles(r.co))
+                    n_t = site.n_co_titles(r.co)
+                    for p in range(n_pages(n_t, PER_PAGE_CO)):
+                        u = f"{r.url}&start={1 + p * PER_PAGE_CO}"
+                        discovered.append(
+                            SimRow(3, child_seq(r.seq, p), u, canonicalize_url(u),
+                                   r.host, 3, "co_page", co=r.co)
+                        )
+                elif res.kind == "co_page":
+                    sm = re.search(r"data-start='(\d+)'", res.text)
+                    start = int(sm.group(1)) if sm else 1
+                    page = (start - 1) // PER_PAGE_CO + 1
+                    first = start - 1
+                    last = min(first + PER_PAGE_CO, site.n_co_titles(r.co))
+                    company_films.setdefault(r.co, {})[page] = [
+                        site.co_film_row(r.co, i) for i in range(first, last)
+                    ]
                 elif res.kind == "filmo":
                     pm = re.search(r"data-page='(\d+)'", res.text)
                     page = int(pm.group(1)) if pm else 0
@@ -232,5 +341,11 @@ def simulate(
         nm: [t for page in sorted(pages) for t in pages[page]]
         for nm, pages in credits.items()
     }
+    flat_co_films = {
+        co: [t for page in sorted(pages) for t in pages[page]]
+        for co, pages in company_films.items()
+    }
     return SimTrace(fetch_order, per_iteration, seen, dead, images, titles,
-                    sections, reviews, persons, flat_credits)
+                    sections, reviews, persons, flat_credits,
+                    videos, video_files, news, ratings, psections,
+                    events, event_awards, companies, flat_co_films)

@@ -36,16 +36,30 @@ from film_crawler_spark.functions.urls import murmur3_x86_32
 
 PER_PAGE = 48  # reference spiders.py:177 PER_PAGE_OF_IMG
 PER_PAGE_HIST = 50  # reference spiders.py:2052 PER_PAGE_OF_HIST (filmography)
+PER_PAGE_VIDEO = 30  # reference spiders.py:178 PER_PAGE_OF_VIDEO
+PER_PAGE_CO = 50  # reference spiders.py:3259 PER_PAGE_NUM_FILMS
 
 # F6 subpage fan-out: each crawled title also fetches its section pages
 # (reference spiders.py:310-329 builds 20 such URLs per title; this world
-# models 10 of them — the ones whose extractions SURVEY §1.3 lists as
-# fixed-schema CSVs). Order matters: it is the reference's construction
-# order, and section ordinals continue after the mediaindex page ordinals.
+# models all 18 fixed-schema ones of SURVEY §1.3: the original 10 plus
+# externalreviews/parentalguide/faqs/soundtracks/movieconnections/goofs/
+# crazycredits/alternateversions, reference spiders.py:1008-1284).
+# Order matters: it is the reference's construction order, and section
+# ordinals continue after the mediaindex page ordinals.
 SECTIONS = [
     "keywords", "companies", "awards", "quotes", "releaseinfo",
     "technical", "locations", "trivia", "plotsummary", "fullcredits",
+    "externalreviews", "parentalguide", "faqs", "soundtracks",
+    "movieconnections", "goofs", "crazycredits", "alternateversions",
 ]
+
+# person aux subpages (reference nm spider, spiders.py:2211-2225:
+# bio/otherworks/publicity/external_sites parses + person 6-col awards)
+PSECTIONS = ["bio", "otherworks", "publicity", "externalsites", "awards"]
+
+# media kinds share the media (unthrottled) budget pool — the reference
+# sleeps before page requests only (spiders.py:136 vs 2981-2998, 3876-3897)
+MEDIA_KINDS = ("image_blob", "video_blob")
 
 ADJ = ["Silent", "Crimson", "Golden", "Broken", "Electric", "Midnight", "Paper", "Iron", "Hollow", "Distant"]
 NOUN = ["Horizon", "Garden", "Station", "River", "Mirror", "Harvest", "Signal", "Empire", "Voyage", "Letter"]
@@ -63,6 +77,9 @@ class SiteConfig:
     n_hosts: int = 4  # host 0 is hot (~50% of titles)
     hot_host_share: float = 0.5
     max_images_per_title: int = 120  # => up to 3 mediaindex pages
+    max_videos_per_title: int = 75  # => up to 3 videogallery pages
+    max_news_per_title: int = 12
+    max_co_titles: int = 120  # => up to 3 company search pages
     p_404: float = 0.02  # permanent 404s
     p_500: float = 0.02  # flaky: 500 until heal_attempt
     max_heal_attempt: int = 3
@@ -70,6 +87,11 @@ class SiteConfig:
     large_wh: tuple[int, int] = (96, 72)
     ori_wh: tuple[int, int] = (128, 96)
     lossy_q: float = 2.0  # keeps PSNR >= 40 dB even on noise
+    # P6 dual-layout: this share of title pages (and event pages) render
+    # the ALTERNATE layout — the reference's try-old-selectors /
+    # except-data-testid dispatch (spiders.py:339-362); event pages fall
+    # back from DOM to an embedded-JSON widget (spiders.py:2775-2828)
+    alt_layout_share: float = 0.4
 
 
 @dataclass
@@ -191,19 +213,42 @@ class SyntheticSite:
 
     # -- page bodies ----------------------------------------------------------
 
+    def uses_alt_layout(self, entity_id: str) -> bool:
+        """P6 dual-layout dispatch: a deterministic share of pages render
+        the alternate markup (reference spiders.py:339-362: old class
+        selectors raise, parser falls back to data-testid)."""
+        h = _h(f"{self.cfg.seed}:layout:{entity_id}")
+        return (h % 1000) / 1000.0 < self.cfg.alt_layout_share
+
+    def hero_fields(self, tt: str) -> tuple[str, str, str]:
+        """(name, rating, metascore) ground truth, layout-independent."""
+        h = _h(f"{self.cfg.seed}:hero:{tt}")
+        return self.title_name(tt), f"{1 + (h % 90) / 10.0:.1f}", str(h % 101)
+
     def _title_body(self, tt: str) -> str:
         n = self.n_images(tt)
-        name = self.title_name(tt)
-        h = _h(f"{self.cfg.seed}:hero:{tt}")
-        rating = f"{1 + (h % 90) / 10.0:.1f}"
-        meta = str(h % 101)
+        nv = self.n_videos(tt)
+        name, rating, meta = self.hero_fields(tt)
+        if self.uses_alt_layout(tt):
+            # layout B: data-testid markup (the reference's except-branch
+            # selectors, spiders.py:352-362)
+            return (
+                f"<html><head><title>{name} - Films</title></head>\n"
+                f'<body data-layout="b">\n'
+                f'<h1 data-testid="hero-title-block__title">{name}</h1>\n'
+                f'<div data-testid="hero-rating">{rating}</div>\n'
+                f'<span class="score-meta">{meta}</span>\n'
+                f'<a data-testid="photos-link">{n:,} Photos</a>\n'
+                f'<a data-testid="videos-link">{nv:,} Videos</a>\n</body></html>'
+            )
         return (
             f"<html><head><title>{name} - Films</title></head>\n"
             f'<body data-testid="hero">\n<h1>{name}</h1>\n'
             f'<span class="rating">{rating}/10</span>\n'
             f'<span class="metascore">{meta}</span>\n'
             f'<a href="/title/{tt}/mediaindex?page=1">photos</a>\n'
-            f'<span class="image-count">{n:,} Photos</span>\n</body></html>'
+            f'<span class="image-count">{n:,} Photos</span>\n'
+            f'<span class="video-count">{nv:,} Videos</span>\n</body></html>'
         )
 
     def _mediaindex_body(self, tt: str, page: int) -> str:
@@ -266,6 +311,28 @@ class SyntheticSite:
                 rows.append((f"A {a.lower()} tale of the {b_.lower()}.", f"{a} {b_}", None))
             elif sec == "fullcredits":
                 rows.append((f"nm{g % 10**7:07d}", f"{a} {b_}", f"The {NOUN[(g >> 9) % 10]}"))
+            # -- the 8 sections added in round 2 (reference spiders.py:1008-1284) --
+            elif sec == "externalreviews":
+                rows.append((f"{a} {b_} Review", f"https://ext-{g % 97}.example/{b_.lower()}", None))
+            elif sec == "parentalguide":
+                cates = ["certificates", "Sex_Nudity", "Violence_Gore", "Profanity",
+                         "Alcohol_Drugs_Smoking", "Frightening_IntenseScenes"]
+                rows.append((cates[g % 6], f"severity_vote:{['Mild', 'Moderate', 'Severe'][g % 3]}",
+                             f"A {a.lower()} {b_.lower()} moment."))
+            elif sec == "faqs":
+                rows.append((f"Why the {b_.lower()}?", f"Because of the {a.lower()} {NOUN[(g >> 9) % 10].lower()}.", None))
+            elif sec == "soundtracks":
+                rows.append((f"{a} {b_} Theme (performed by {ADJ[(g >> 9) % 10]} Ensemble)", None, None))
+            elif sec == "movieconnections":
+                rows.append((["follows", "followed_by", "references", "referenced_in", "spin_off"][g % 5],
+                             f"tt{g % 10**7:07d}",
+                             f"{a} {b_} ({1900 + g % 126})"))
+            elif sec == "goofs":
+                rows.append((f"The {b_.lower()} visibly changes position.", None, None))
+            elif sec == "crazycredits":
+                rows.append((f"A {a.lower()} {b_.lower()} appears after the credits.", None, None))
+            elif sec == "alternateversions":
+                rows.append((f"The {a.lower()} cut adds a {b_.lower()} scene.", None, None))
         return rows
 
     # -- persons (reference nmIMDB spider, spiders.py:2121-2421) --------
@@ -368,12 +435,377 @@ class SyntheticSite:
             + "\n<div class='loaded-all'></div></body></html>"
         )
 
+    # -- videos (reference getAllvideos/get_cur_video, spiders.py:792-863;
+    #    mp4 download spiders.py:3876-3897; videos.csv at 501-511) --------
+
+    def n_videos(self, tt: str) -> int:
+        return _h(f"{self.cfg.seed}:nvid:{tt}") % (self.cfg.max_videos_per_title + 1)
+
+    def vi_id(self, tt: str, idx: int) -> str:
+        return f"vi{_h(f'{self.cfg.seed}:vi:{tt}:{idx}') % 10**9:09d}{idx % 10}"
+
+    def mp4_url(self, vi: str) -> str:
+        h = _h(f"{self.cfg.seed}:mp4:{vi}")
+        return f"https://vid.media-h{h % self.cfg.n_hosts}.com/mp4/{vi}.mp4?tok={h % 10**6}"
+
+    def video_bytes(self, vi: str) -> bytes:
+        """Deterministic pseudo-mp4 payload (1-8 KiB). Content is opaque
+        to the engine (binary column; the reference streams chunks to a
+        file without decoding, spiders.py:3876-3897)."""
+        h = _h(f"{self.cfg.seed}:vbytes:{vi}")
+        n = 1024 + h % (7 * 1024)
+        rng = np.random.default_rng(h)
+        return b"\x00\x00\x00\x18ftypmp42" + rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+
+    def _videogallery_body(self, tt: str, page: int) -> str:
+        n = self.n_videos(tt)
+        first, last = (page - 1) * PER_PAGE_VIDEO, min(page * PER_PAGE_VIDEO, n)
+        rows = [
+            f'<div class="results-item"><a data-video="{self.vi_id(tt, i)}">clip</a></div>'
+            for i in range(first, last)
+        ]
+        return (
+            f"<html><body data-kind='videogallery' data-page='{page}'>\n"
+            f'<div class="search-results">\n' + "\n".join(rows) + "\n</div></body></html>"
+        )
+
+    def _video_player_body(self, vi: str) -> str:
+        # the mp4 URL hides in an embedded script, exactly the reference's
+        # '"videoUrl":"...mp4?..."' regex target (spiders.py:845-850)
+        return (
+            f"<html><body data-kind='video_player' data-vi='{vi}'>\n"
+            f'<script type="text/javascript">var playbackData = '
+            f'{{"videoLegacyEncodings":[{{"videoUrl":"{self.mp4_url(vi)}","mimeType":"video/mp4"}}]}};'
+            f"</script>\n</body></html>"
+        )
+
+    # -- news (reference news_selenium scroll loop + getEachNews,
+    #    spiders.py:4652-4762; news.csv 8 cols at 4607-4623) -------------
+
+    def n_news(self, tt: str) -> int:
+        return _h(f"{self.cfg.seed}:nnews:{tt}") % (self.cfg.max_news_per_title + 1)
+
+    def news_rows(self, tt: str) -> list[tuple]:
+        """Ground truth in OLDEST-FIRST order — the reference reverses the
+        scroll-revealed (newest-first) article list before parsing
+        (newses.reverse(), spiders.py:4690; O5)."""
+        rows = []
+        for i in range(self.n_news(tt)):
+            g = _h(f"{self.cfg.seed}:news:{tt}:{i}")
+            rows.append(
+                (
+                    f"{ADJ[g % 10]} {NOUN[(g >> 4) % 10]} announced",        # title
+                    f"https://news-{g % 89}.example/{NOUN[(g >> 6) % 10].lower()}",  # url
+                    f"{2010 + g % 15}-{1 + (g >> 9) % 12:02d}-{1 + (g >> 14) % 28:02d}",  # date
+                    f"{ADJ[(g >> 5) % 10]} Writer",                          # author
+                    f"{NOUN[(g >> 7) % 10]} Daily",                          # source
+                    f"https://img.news-{g % 89}.example/{g % 10**6}.jpg",    # img_url
+                    f"{ADJ[(g >> 8) % 10]} {NOUN[(g >> 10) % 10]}",          # img_alt
+                    f"The {NOUN[(g >> 11) % 10].lower()} was {ADJ[(g >> 12) % 10].lower()} today.",  # content
+                )
+            )
+        return rows
+
+    def _news_body(self, tt: str) -> str:
+        """Fully-scrolled news page, NEWEST-first as displayed (the parser
+        must reverse; loaded-all marker = reference spiders.py:4681)."""
+        arts = []
+        for title, url, date, author, source, img_url, img_alt, content in reversed(
+            self.news_rows(tt)
+        ):
+            arts.append(
+                f'<article class="news-article"><h2 class="news-article__title">'
+                f'<a href="{url}">{title}</a></h2>'
+                f'<li class="news-article__date">{date}</li>'
+                f'<li class="news-article__author">{author}</li>'
+                f'<li class="news-article__source">{source}</li>'
+                f'<img class="news-article__image" src="{img_url}" alt="{img_alt}"/>'
+                f'<div class="news-article__content">{content}</div></article>'
+            )
+        return (
+            "<html><body data-kind='news'><div id='main'>\n"
+            + "\n".join(arts)
+            + "\n<div class='loaded-all'></div></div></body></html>"
+        )
+
+    # -- ratings page (reference getRatings, spiders.py:4962-5040) -------
+
+    DEMO_ROWS = ["All", "Males", "Females"]
+    DEMO_COLS = ["All_ages", "<18", "18-29", "30-44", "45+"]
+    USER_CATES = ["Top_1000_voters", "US_users", "Non_US_Users"]
+
+    def ratings_fields(self, tt: str) -> dict:
+        """Ground-truth ratings page content: histogram string, mean,
+        median, demographic map, user-cate string (the reference's 8-col
+        ratings.csv minus the scrape timestamp)."""
+        g = _h(f"{self.cfg.seed}:ratings:{tt}")
+        tot = 1000 + g % 2_000_000
+        weighted = f"{1 + (g % 90) / 10.0:.1f}"
+        by_score = ";".join(
+            f"{s}:{(_h(f'{self.cfg.seed}:rsc:{tt}:{s}') % 300) / 10.0:.1f}%,"
+            f"{_h(f'{self.cfg.seed}:rvt:{tt}:{s}') % (tot + 1)}"
+            for s in range(10, 0, -1)
+        )
+        mean = f"{1 + (_h(f'{self.cfg.seed}:rmean:{tt}') % 90) / 10.0:.1f}"
+        median = str(1 + _h(f"{self.cfg.seed}:rmed:{tt}") % 10)
+        demo = {}
+        for row in self.DEMO_ROWS:
+            for col in self.DEMO_COLS:
+                d = _h(f"{self.cfg.seed}:rdemo:{tt}:{row}:{col}")
+                demo[f"{row}|{col}"] = f"{1 + (d % 90) / 10.0:.1f},{d % 100000}"
+        by_users = ";".join(
+            f"{c}:{1 + (_h(f'{self.cfg.seed}:ruser:{tt}:{c}') % 90) / 10.0:.1f},"
+            f"{_h(f'{self.cfg.seed}:ruvt:{tt}:{c}') % 100000}"
+            for c in self.USER_CATES
+        )
+        return {
+            "tot_users": tot, "weighted": weighted, "by_score": by_score,
+            "mean": mean, "median": median, "demo": demo, "by_users": by_users,
+        }
+
+    def _ratings_body(self, tt: str) -> str:
+        f = self.ratings_fields(tt)
+        demo_rows = []
+        for row in self.DEMO_ROWS:
+            cells = "".join(
+                f'<td data-col="{col}"><div class="bigcell">{f["demo"][f"{row}|{col}"].split(",")[0]}</div>'
+                f'<div class="smallcell">{f["demo"][f"{row}|{col}"].split(",")[1]}</div></td>'
+                for col in self.DEMO_COLS
+            )
+            demo_rows.append(f'<tr data-cate="{row}">{cells}</tr>')
+        return (
+            f"<html><body data-kind='ratings'>\n"
+            f'<div class="allText">{f["tot_users"]:,} IMDb users have given a '
+            f'weighted average vote of {f["weighted"]} / 10</div>\n'
+            f'<div class="by-score">{f["by_score"]}</div>\n'
+            f'<div class="statics">Arithmetic mean = {f["mean"]}. Median = {f["median"]}.</div>\n'
+            f'<table class="demographics">\n' + "\n".join(demo_rows) + "</table>\n"
+            f'<div class="by-users">{f["by_users"]}</div>\n</body></html>'
+        )
+
+    # -- person aux sections (reference spiders.py:2211-2225, 2291-2623:
+    #    bio / otherworks / publicity / external_sites / 6-col awards) ---
+
+    def psection_rows(self, nm: str, sec: str) -> list[tuple]:
+        """Ground truth, (f1..f6) tuples; non-award sections use f1..f3."""
+        h = _h(f"{self.cfg.seed}:psec:{nm}:{sec}")
+        n = h % 6  # 0..5 rows
+        rows = []
+        for i in range(n):
+            g = _h(f"{self.cfg.seed}:psec:{nm}:{sec}:{i}")
+            a, b_ = ADJ[g % 10], NOUN[(g >> 4) % 10]
+            if sec == "bio":
+                rows.append((["overview", "mini_bio", "spouse", "trade_mark", "trivia", "personal_quotes"][g % 6],
+                             f"{a} {b_}", f"A {a.lower()} life of {b_.lower()}.", None, None, None))
+            elif sec == "otherworks":
+                rows.append((f"Stage: the {b_.lower()} production of {1950 + g % 70}.", None, None, None, None, None))
+            elif sec == "publicity":
+                rows.append((["Print_Biographies", "Film_Biographies", "Interviews", "Articles",
+                              "Pictorials", "Magazine_Covers", "Portrayals"][g % 7],
+                             f"{b_} Magazine ({1970 + g % 50})", f"{a} profile of the artist.", None, None, None))
+            elif sec == "externalsites":
+                rows.append((["Official_Sites", "Miscellaneous_Sites", "Photographs", "Video_Clips"][g % 4],
+                             f"https://site-{g % 79}.example/{b_.lower()}", f"{a} {b_} fan page", None, None, None))
+            elif sec == "awards":
+                # reference 6-col person awards (spiders.py:2291-2331):
+                # title, year, ID(ev), award_outcome, award_category, award_descriptions
+                rows.append((f"{a} Award", str(1960 + g % 60), f"ev{g % 10**7:07d}",
+                             ["Winner", "Nominee"][g % 2], f"Best {b_}",
+                             f"For the {NOUN[(g >> 9) % 10].lower()}."))
+        return rows
+
+    def _psection_body(self, nm: str, sec: str) -> str:
+        cells = []
+        for tup in self.psection_rows(nm, sec):
+            tds = "".join(f"<td>{v if v is not None else ''}</td>" for v in tup)
+            cells.append(f'<tr class="psec-row">{tds}</tr>')
+        return (
+            f"<html><body data-kind='psection' data-sec='{sec}' data-nm='{nm}'>\n<table>\n"
+            + "\n".join(cells)
+            + "\n</table></body></html>"
+        )
+
+    # -- events (third entity type; reference getEvent DOM + embedded-JSON
+    #    fallback, spiders.py:2668-2833; event/base.csv at 2650-2666) ----
+
+    def host_of_event(self, ev: str) -> str:
+        h = _h(f"{self.cfg.seed}:ehost:{ev}")
+        if (h % 1000) / 1000.0 < self.cfg.hot_host_share:
+            return "www.media-h0.com"
+        j = 1 + h % (self.cfg.n_hosts - 1) if self.cfg.n_hosts > 1 else 0
+        return f"www.media-h{j}.com"
+
+    def event_url(self, ev: str) -> str:
+        return f"https://{self.host_of_event(ev)}/event/{ev}/"
+
+    def event_fields(self, ev: str) -> tuple[str, str, str]:
+        h = _h(f"{self.cfg.seed}:ev:{ev}")
+        name = f"{ADJ[h % 10]} {NOUN[(h >> 4) % 10]} Awards"
+        sub = f"The {NOUN[(h >> 8) % 10]} Ceremony" if h % 3 else ""
+        year = str(1960 + h % 66)
+        return name, sub, year
+
+    def event_award_rows(self, ev: str) -> list[tuple]:
+        """9-col ground truth (reference event.csv: award_name, cate_name,
+        isWinner, img_url, primary_Names, primary_IDs, secondary_Names,
+        secondary_IDs, notes_detail)."""
+        h = _h(f"{self.cfg.seed}:evaw:{ev}")
+        rows = []
+        for i in range(h % 8):
+            g = _h(f"{self.cfg.seed}:evaw:{ev}:{i}")
+            a, b_ = ADJ[g % 10], NOUN[(g >> 4) % 10]
+            prim_kind = ["nm", "tt", "co"][g % 3]
+            prim_id = f"{prim_kind}{g % 10**7:07d}"
+            sec_id = f"nm{(g >> 3) % 10**7:07d}"
+            rows.append(
+                (
+                    f"{a} Award", f"Best {b_}",
+                    "Winner" if g % 4 == 0 else "not Winner",
+                    f"https://img.media-h0.com/ev/{g % 10**6}.jpg",
+                    f"{a} {b_}", prim_id,
+                    f"{ADJ[(g >> 9) % 10]} {NOUN[(g >> 11) % 10]}", sec_id,
+                    f"For the {b_.lower()}." if g % 5 == 0 else "",
+                )
+            )
+        return rows
+
+    def _event_body(self, ev: str) -> str:
+        name, sub, year = self.event_fields(ev)
+        rows = self.event_award_rows(ev)
+        if self.uses_alt_layout(ev):
+            # embedded-JSON layout (reference fallback, spiders.py:2775-2828)
+            import json as _json
+
+            awards_js = _json.dumps(
+                {
+                    "nomineesWidgetModel": {
+                        "eventEditionSummary": {
+                            "eventName": name, "year": year,
+                            "awards": [
+                                {
+                                    "awardName": aw, "categories": [{
+                                        "categoryName": cate,
+                                        "nominations": [{
+                                            "isWinner": win == "Winner",
+                                            "notes": notes or None,
+                                            "imageUrl": img,
+                                            "primaryNominees": [{"name": pn, "const": pid, "imageUrl": img}],
+                                            "secondaryNominees": [{"name": sn, "const": sid}],
+                                        }],
+                                    }],
+                                }
+                                for aw, cate, win, img, pn, pid, sn, sid, notes in rows
+                            ],
+                        }
+                    }
+                }
+            )
+            return (
+                f"<html><body data-kind='event' data-layout='json'>\n"
+                f'<script type="text/javascript">IMDbReactWidgets.NomineesWidget.push('
+                f"['nominees-widget-lite', {awards_js}]);</script>\n</body></html>"
+            )
+        cells = []
+        for aw, cate, win, img, pn, pid, sn, sid, notes in rows:
+            cells.append(
+                f'<div class="event-widgets__award"><div class="award-name">{aw}</div>'
+                f'<div class="award-category-name">{cate}</div>'
+                f'<div class="winner-flag">{win}</div>'
+                f'<img class="nominee-image" src="{img}"/>'
+                f'<span class="primary-nominee" data-id="{pid}">{pn}</span>'
+                f'<span class="secondary-nominee" data-id="{sid}">{sn}</span>'
+                f'<div class="nomination-notes">{notes}</div></div>'
+            )
+        return (
+            f"<html><body data-kind='event' data-layout='dom'>\n"
+            f'<div class="event-header__title">{name}</div>\n'
+            f'<div class="event-header__subtitle">{sub}</div>\n'
+            f'<div class="event-year-header__year">{year} Awards</div>\n'
+            f'<div class="event-widgets__award-list">\n' + "\n".join(cells) + "\n</div></body></html>"
+        )
+
+    # -- companies (reference co crawl, spiders.py:3259-3448: search page
+    #    count + name, then &start= pagination of 15-field film rows) ---
+
+    def host_of_company(self, co: str) -> str:
+        h = _h(f"{self.cfg.seed}:chost:{co}")
+        if (h % 1000) / 1000.0 < self.cfg.hot_host_share:
+            return "www.media-h0.com"
+        j = 1 + h % (self.cfg.n_hosts - 1) if self.cfg.n_hosts > 1 else 0
+        return f"www.media-h{j}.com"
+
+    def company_url(self, co: str) -> str:
+        return f"https://{self.host_of_company(co)}/search/title/?companies={co}"
+
+    def company_name(self, co: str) -> str:
+        h = _h(f"{self.cfg.seed}:cname:{co}")
+        return f"{ADJ[h % 10]} {NOUN[(h >> 4) % 10]} Pictures"
+
+    def n_co_titles(self, co: str) -> int:
+        return _h(f"{self.cfg.seed}:ncot:{co}") % (self.cfg.max_co_titles + 1)
+
+    def co_film_row(self, co: str, idx: int) -> tuple:
+        """One 15-field search-result row (reference get_curPage_co,
+        spiders.py:3352-3437)."""
+        g = _h(f"{self.cfg.seed}:cof:{co}:{idx}")
+        a, b_ = ADJ[g % 10], NOUN[(g >> 4) % 10]
+        tt = f"tt{g % 10**7:07d}"
+        return (
+            tt,
+            f"{a} {b_}",
+            f"https://img.media-h0.com/co/{g % 10**6}.jpg",
+            ["G", "PG", "PG-13", "R", ""][g % 5],
+            f"{60 + g % 140} min",
+            ["Drama", "Comedy", "Action", "Documentary"][g % 4],
+            f"{1 + (g % 90) / 10.0:.1f}",
+            str(g % 101),
+            f"A {a.lower()} story of the {b_.lower()}.",
+            f"{ADJ[(g >> 9) % 10]} {NOUN[(g >> 11) % 10]}",
+            f"nm{(g >> 2) % 10**7:07d}",
+            f"{ADJ[(g >> 13) % 10]} {NOUN[(g >> 15) % 10]}",
+            f"nm{(g >> 5) % 10**7:07d}",
+            str(g % 500000),
+            f"${g % 10**8}" if g % 3 == 0 else "",
+        )
+
+    def _company_body(self, co: str, start: int | None) -> str:
+        n = self.n_co_titles(co)
+        if start is None:
+            # the count/header page (reference get_co_info, spiders.py:3303-3322)
+            return (
+                f"<html><body data-kind='company' data-co='{co}'>\n"
+                f'<h1 class="header">With {self.company_name(co)} (Sorted by Popularity)</h1>\n'
+                f'<div class="desc"><span>1-50 of {n:,} titles.</span></div>\n</body></html>'
+            )
+        first = start - 1
+        last = min(first + PER_PAGE_CO, n)
+        rows = []
+        for i in range(first, last):
+            tup = self.co_film_row(co, i)
+            tds = "".join(f"<td>{v}</td>" for v in tup)
+            rows.append(f'<tr class="co-film">{tds}</tr>')
+        return (
+            f"<html><body data-kind='co_page' data-co='{co}' data-start='{start}'>\n<table>\n"
+            + "\n".join(rows)
+            + "\n</table></body></html>"
+        )
+
     def _section_body(self, tt: str, sec: str) -> str:
         cells = []
         for f1, f2, f3 in self.section_rows(tt, sec):
-            # fullcredits rows carry the person link the crawler follows
-            # (cross-entity discovery; reference cast hrefs spiders.py:1359-1419)
-            link = f' data-link="{self.person_url(f1)}"' if sec == "fullcredits" else ""
+            # cross-entity discovery links: fullcredits rows carry person
+            # links (reference cast hrefs spiders.py:1359-1419), awards
+            # rows carry event links (evids from awards.csv seed the ev
+            # crawl), companies rows carry company-search links
+            # (spiders.py:3441-3448 coids -> search URL)
+            if sec == "fullcredits":
+                link = f' data-link="{self.person_url(f1)}"'
+            elif sec == "awards":
+                link = f' data-link="{self.event_url(f2)}"'
+            elif sec == "companies":
+                link = f' data-link="{self.company_url(f3)}"'
+            else:
+                link = ""
             cells.append(
                 f'<tr class="sec-row"{link}><td>{f1 if f1 is not None else ""}</td>'
                 f"<td>{f2 if f2 is not None else ''}</td>"
@@ -399,6 +831,37 @@ class SyntheticSite:
         m = re.search(r"/title/(tt\d+)/mediaviewer/(rm\d+)", url)
         if m:
             return FetchResult(200, "photo_detail", text=self._photo_detail_body(m.group(1), m.group(2)))
+        m = re.search(r"/title/(tt\d+)/videogallery\?page=(\d+)", url)
+        if m:
+            return FetchResult(200, "videogallery", text=self._videogallery_body(m.group(1), int(m.group(2))))
+        m = re.search(r"/videoplayer/(vi\d+)$", url)
+        if m:
+            return FetchResult(200, "video_player", text=self._video_player_body(m.group(1)))
+        m = re.search(r"/mp4/(vi\d+)\.mp4", url)
+        if m:
+            vi = m.group(1)
+            return FetchResult(200, "video_blob", body=self.video_bytes(vi), meta={"vi": vi})
+        m = re.search(r"/title/(tt\d+)/news$", url)
+        if m:
+            return FetchResult(200, "news", text=self._news_body(m.group(1)))
+        m = re.search(r"/title/(tt\d+)/ratings$", url)
+        if m:
+            return FetchResult(200, "ratings", text=self._ratings_body(m.group(1)))
+        m = re.search(r"/name/(nm\d+)/(" + "|".join(PSECTIONS) + r")$", url)
+        if m:
+            return FetchResult(
+                200, "psection", text=self._psection_body(m.group(1), m.group(2)),
+                meta={"sec": m.group(2)},
+            )
+        m = re.search(r"/event/(ev\d+)/?$", url)
+        if m:
+            return FetchResult(200, "event", text=self._event_body(m.group(1)))
+        m = re.search(r"/search/title/\?companies=(co\d+)&start=(\d+)$", url)
+        if m:
+            return FetchResult(200, "co_page", text=self._company_body(m.group(1), int(m.group(2))))
+        m = re.search(r"/search/title/\?companies=(co\d+)$", url)
+        if m:
+            return FetchResult(200, "company", text=self._company_body(m.group(1), None))
         m = re.search(r"/name/(nm\d+)/filmosearch\?page=(\d+)", url)
         if m:
             return FetchResult(200, "filmo", text=self._filmo_body(m.group(1), int(m.group(2))))

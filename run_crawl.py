@@ -38,6 +38,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from film_crawler_spark.operators.politeness import PolitenessConfig
     from film_crawler_spark.plans.crawl_loop import CrawlConfig, run_crawl
@@ -55,9 +56,12 @@ def main() -> None:
 
     if args.seed_file:
         # reference seed semantics: tab-sep CSV, column 0, no header
-        # (spiders.py:85-99) — dedup+sort happen inside init_frontier
-        rows = spark.read.csv(args.seed_file, sep="\t").select("_c0").collect()
-        seed_ids = [r["_c0"] for r in rows]
+        # (spiders.py:85-99) — dedup+sort happen inside init_frontier.
+        # The DataFrame flows into the frontier WITHOUT a driver collect
+        # (a 10^6..10^10-row seed file never touches the driver).
+        seed_ids = spark.read.csv(args.seed_file, sep="\t").select(
+            F.col("_c0").alias("id")
+        )
     else:
         seed_ids = make_seed_ids(args.seeds)
 

@@ -106,6 +106,9 @@ def test_phash_near_dups(spark):
         lossy = dctq_decode(dctq_encode(px, q=2.0))
         imgs.append((f"rm{i}x", int(phash64(lossy))))
     df = spark.createDataFrame(imgs, "image_id string, phash long")
-    pairs = {(r["id_a"], r["id_b"]) for r in SIM.phash_near_dups(df, max_hamming=12).collect()}
+    pairs = {(r["id_a"], r["id_b"]) for r in SIM.phash_near_dups(df, max_hamming=12, n_bands=13).collect()}
     found_same = sum(1 for i in range(6) if (f"rm{i}", f"rm{i}x") in pairs or (f"rm{i}x", f"rm{i}") in pairs)
-    assert found_same == 6  # <=7-bit flips guaranteed by 8-band index; rest probable
+    assert found_same == 6  # <=12-bit flips guaranteed by the 13-band index
+    # asking for more distance than the bands guarantee must raise
+    with pytest.raises(ValueError):
+        SIM.phash_near_dups(df, max_hamming=10, n_bands=8)

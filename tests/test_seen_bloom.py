@@ -60,6 +60,34 @@ def test_filter_unseen_equals_exact_anti_join(spark):
     assert got == set(cand_urls) - set(seen_urls)
 
 
+def test_filter_unseen_respects_lagging_bloom_delta(spark):
+    """A URL fetched AFTER the bloom snapshot was built (the current
+    iteration's seen delta) must not be re-enqueued even though the
+    bloom reports it 'definitely unseen' (T7 exactly-once; the
+    same-iteration re-discovery gap from round-1 ADVICE)."""
+    committed = [f"https://h.com/a{i}" for i in range(200)]
+    delta = [f"https://h.com/b{i}" for i in range(50)]  # fetched this iter
+    cands = committed[150:] + delta[:30] + [f"https://h.com/c{i}" for i in range(40)]
+    bs, seen = _hash_df(spark, committed)
+    bloom = bs.merge(None, seen.select("shard", "url_hash"))  # lags: no delta
+    all_seen = spark.createDataFrame(
+        [(u,) for u in committed + delta], "canon_url string"
+    )
+    delta_df = spark.createDataFrame([(u,) for u in delta], "canon_url string")
+    _, cand = _hash_df(spark, cands)
+    got = {
+        r["canon_url"]
+        for r in filter_unseen(cand, all_seen, bs, bloom, delta_exact=delta_df).collect()
+    }
+    assert got == set(cands) - set(committed) - set(delta)
+    # without the delta window, the delta URLs WOULD leak through (the bug)
+    leaked = {
+        r["canon_url"]
+        for r in filter_unseen(cand, all_seen, bs, bloom).collect()
+    }
+    assert set(delta[:30]) & leaked  # documents why delta_exact exists
+
+
 @pytest.mark.parametrize("scale_knobs", [True])
 def test_crawl_invariant_under_physical_choices(spark, tmp_path, scale_knobs):
     """Same crawl with Bloom probing active from iteration 1 and the
