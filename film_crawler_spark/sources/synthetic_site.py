@@ -61,6 +61,14 @@ PSECTIONS = ["bio", "otherworks", "publicity", "externalsites", "awards"]
 # sleeps before page requests only (spiders.py:136 vs 2981-2998, 3876-3897)
 MEDIA_KINDS = ("image_blob", "video_blob")
 
+# the seven seed-producing chart pages (reference getTopLowest,
+# utils.py:97-271: top rated / top english / most popular / popular TV /
+# top TV / top indian / lowest rated)
+CHARTS = [
+    "top", "top-english", "popular", "popular-tv", "top-tv",
+    "top-indian", "bottom",
+]
+
 ADJ = ["Silent", "Crimson", "Golden", "Broken", "Electric", "Midnight", "Paper", "Iron", "Hollow", "Distant"]
 NOUN = ["Horizon", "Garden", "Station", "River", "Mirror", "Harvest", "Signal", "Empire", "Voyage", "Letter"]
 
@@ -790,6 +798,56 @@ class SyntheticSite:
             + "\n</table></body></html>"
         )
 
+    # -- seed sources: charts / coming-soon months / event index
+    #    (reference utils.py:15-271 — getTopLowest/getNearYear/getEvents)
+
+    def chart_ids(self, chart: str) -> list[str]:
+        """Ground-truth id list for one chart page. Charts overlap (a
+        popular film appears in several), so the union-dedup the seed
+        generator performs is real work."""
+        h = _h(f"{self.cfg.seed}:chart:{chart}")
+        n = 25 + h % 26  # 25..50 per chart
+        # pool smaller than the union of charts => guaranteed overlap
+        return [f"tt{1 + _h(f'{self.cfg.seed}:chid:{chart}:{i}') % 300:07d}" for i in range(n)]
+
+    def coming_soon_ids(self, month: str) -> list[str]:
+        h = _h(f"{self.cfg.seed}:soon:{month}")
+        n = 3 + h % 10
+        return [f"tt{1000 + _h(f'{self.cfg.seed}:soonid:{month}:{i}') % 5000:07d}" for i in range(n)]
+
+    def all_event_ids(self) -> list[str]:
+        return [f"ev{_h(f'{self.cfg.seed}:evidx:{i}') % 10**7:07d}" for i in range(40)]
+
+    def _chart_body(self, chart: str) -> str:
+        rows = [
+            f'<tr><td class="titleColumn"><a href="/title/{tt}/">{self.title_name(tt)}</a></td></tr>'
+            for tt in self.chart_ids(chart)
+        ]
+        return (
+            f"<html><body data-kind='chart' data-chart='{chart}'>\n"
+            f'<tbody class="lister-list">\n' + "\n".join(rows) + "\n</tbody></body></html>"
+        )
+
+    def _coming_soon_body(self, month: str) -> str:
+        rows = [
+            f'<div class="list_item"><h4><a href="/title/{tt}/">{self.title_name(tt)}</a></h4></div>'
+            for tt in self.coming_soon_ids(month)
+        ]
+        return (
+            f"<html><body data-kind='coming_soon' data-month='{month}'>\n"
+            f'<div class="list detail">\n' + "\n".join(rows) + "\n</div></body></html>"
+        )
+
+    def _event_index_body(self) -> str:
+        rows = [
+            f'<li><a href="/event/{ev}/">{self.event_fields(ev)[0]}</a></li>'
+            for ev in self.all_event_ids()
+        ]
+        return (
+            "<html><body data-kind='event_index'>\n"
+            '<ul class="event-list__events">\n' + "\n".join(rows) + "\n</ul></body></html>"
+        )
+
     def _section_body(self, tt: str, sec: str) -> str:
         cells = []
         for f1, f2, f3 in self.section_rows(tt, sec):
@@ -828,6 +886,14 @@ class SyntheticSite:
             return FetchResult(status=status, kind="error")
         import re
 
+        m = re.search(r"/chart/(" + "|".join(CHARTS) + r")$", url)
+        if m:
+            return FetchResult(200, "chart", text=self._chart_body(m.group(1)))
+        m = re.search(r"/movies-coming-soon/(\d{4}-\d{2})$", url)
+        if m:
+            return FetchResult(200, "coming_soon", text=self._coming_soon_body(m.group(1)))
+        if re.search(r"/event/all$", url):
+            return FetchResult(200, "event_index", text=self._event_index_body())
         m = re.search(r"/title/(tt\d+)/mediaviewer/(rm\d+)", url)
         if m:
             return FetchResult(200, "photo_detail", text=self._photo_detail_body(m.group(1), m.group(2)))
