@@ -69,6 +69,12 @@ class CrawlConfig:
     # (results are identical either way — these are physical choices)
     salt_min_pending: int = 200_000
     bloom_probe_min_seen: int = 2_000_000
+    # every K iterations the hot log tables (seen; captions) are staged
+    # as a full compacted base instead of a delta, so the per-iteration
+    # re-read unions O(K) directories instead of O(crawl age). Purely a
+    # physical choice: read_log returns identical rows either way, and
+    # the decision derives from (iteration, config) so resume replays it.
+    compact_every: int = 16
 
 
 def init_frontier(
@@ -226,6 +232,8 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     seen_exact = io.read_log("seen", upto=it - 1)
     seen_delta = attempted.select("canon_url", "url_hash", "shard", "host", "status")
     all_seen = seen_delta if seen_exact is None else seen_exact.select(*seen_delta.columns).unionByName(seen_delta)
+    # periodic log compaction (see CrawlConfig.compact_every)
+    do_compact = it > 0 and cfg.compact_every > 0 and it % cfg.compact_every == 0
     leftover = FR.remaining(pending, flog)
     frontier_cols = [f.name for f in FR.FRONTIER_SCHEMA.fields]
     # Bloom maintenance is LAZY: below the probe threshold the bitmap is
@@ -308,6 +316,12 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
 
     post_counts: dict[str, int] = {}
 
+    # full caption view: committed captions + this iteration's delta.
+    # Used by the images join below, and staged whole as the captions
+    # base on compaction iterations.
+    caps_all = io.read_log("captions", upto=it - 1)
+    caps_all_u = captions if caps_all is None else caps_all.unionByName(captions)
+
     def _stage_images():
         t_r = time.time()
         io.stage(renditions, "renditions", it)
@@ -320,8 +334,6 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         # sort-merge join and shuffle the fat binary side — measured as a
         # ~1 GB shuffle of blob bytes per media iteration. Never move the
         # bytes: captions are bounded by the per-iteration page budget.
-        caps_all = io.read_log("captions", upto=it - 1)
-        caps_all_u = captions if caps_all is None else caps_all.unionByName(captions)
         images = (
             renditions_all.filter(F.col("rendition") == "ori")
             .join(F.broadcast(caps_all_u.select("rm", "caption")), "rm", "left")
@@ -342,9 +354,11 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
 
     jobs = [
         ("frontier", _stage_frontier),
-        ("seen", lambda: io.stage(seen_delta, "seen", it)),
+        # on compaction iterations the full union is staged as a base
+        # (superseding all earlier delta dirs at read time)
+        ("seen", lambda: io.stage(all_seen if do_compact else seen_delta, "seen", it)),
         ("titles", lambda: io.stage(titles, "titles", it)),
-        ("captions", lambda: io.stage(captions, "captions", it)),
+        ("captions", lambda: io.stage(caps_all_u if do_compact else captions, "captions", it)),
         ("sections", lambda: io.stage(sections, "sections", it)),
         ("reviews", lambda: io.stage(reviews, "reviews", it)),
         ("persons", lambda: io.stage(persons, "persons", it)),
@@ -408,7 +422,10 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         "discover_s": t_discover,
         "stage_s": stage_s,
     }
-    io.commit(it, RESULT_TABLES, extra={"summary": summary})
+    extra = {"summary": summary}
+    if do_compact:
+        extra["bases"] = {"seen": it, "captions": it}
+    io.commit(it, RESULT_TABLES, extra=extra)
     return summary
 
 

@@ -97,14 +97,25 @@ class TableIO:
             return json.load(f)
 
     def _committed_dirs(self, table: str, upto: int | None = None) -> list[str]:
+        """Committed directories for a log table, base-aware: when a
+        manifest marks this table as compacted at iteration b (its
+        ``it=b`` dir holds the FULL union through b, not a delta), every
+        earlier directory is superseded — reads start at the latest such
+        base. This caps the per-iteration listing+scan cost of hot log
+        tables (the seen set is re-read every iteration; without bases
+        the dir count grows linearly with crawl age)."""
         dirs = []
         for i in self.committed_iterations():
             if upto is not None and i > upto:
                 continue
-            if table in self.manifest(i)["tables"]:
+            m = self.manifest(i)
+            if table in m["tables"]:
                 d = self._tdir(table, i)
                 if os.path.exists(d):
-                    dirs.append(d)
+                    if m.get("bases", {}).get(table) == i:
+                        dirs = [d]  # base supersedes all earlier deltas
+                    else:
+                        dirs.append(d)
         return dirs
 
     def read_log(self, table: str, upto: int | None = None) -> DataFrame | None:

@@ -46,6 +46,37 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
         assert snap_a[t] == snap_b[t], f"table {t} diverged after resume"
 
 
+def test_compaction_invariance(spark, tmp_path):
+    """Seen/caption log compaction is a physical choice only: a crawl
+    compacting every 2 iterations must produce byte-identical logical
+    tables vs one that never compacts, resume across a compaction
+    boundary included — while reads touch O(compact_every) directories
+    instead of O(crawl age)."""
+    wh_n = str(tmp_path / "nocompact")
+    wh_c = str(tmp_path / "compact")
+    run_crawl(spark, SEEDS, CrawlConfig(
+        warehouse=wh_n, site=SITE, politeness=POL, max_iterations=32, compact_every=0))
+    # compacted run, interrupted right after a compaction boundary
+    cfg1 = CrawlConfig(warehouse=wh_c, site=SITE, politeness=POL,
+                       max_iterations=3, compact_every=2)
+    run_crawl(spark, SEEDS, cfg1)
+    run_crawl(spark, SEEDS, CrawlConfig(
+        warehouse=wh_c, site=SITE, politeness=POL, max_iterations=32, compact_every=2))
+    io_n, io_c = TableIO(spark, wh_n), TableIO(spark, wh_c)
+    snap_n, snap_c = _snapshot(io_n), _snapshot(io_c)
+    for t in snap_n:
+        assert snap_n[t] == snap_c[t], f"table {t} diverged under compaction"
+    # the base actually supersedes earlier delta dirs
+    last = io_c.last_committed()
+    n_dirs_c = len(io_c._committed_dirs("seen", upto=last))
+    n_dirs_n = len(io_n._committed_dirs("seen", upto=io_n.last_committed()))
+    assert n_dirs_c < n_dirs_n
+    assert any(
+        io_c.manifest(i).get("bases", {}).get("seen") == i
+        for i in io_c.committed_iterations()
+    )
+
+
 def test_crawl_terminates_with_empty_frontier(spark, tmp_path):
     wh = str(tmp_path / "c")
     res = run_crawl(spark, SEEDS, CrawlConfig(warehouse=wh, site=SITE, politeness=POL, max_iterations=32))
