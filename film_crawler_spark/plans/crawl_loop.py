@@ -221,7 +221,13 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     robots_cache = ROB.update_robots_cache(
         robots_prev, discovered_all.select("host"), cfg.site
     ).persist()
-    robots_cache.count()
+    n_robots = robots_cache.count()
+    # re-stage the robots cache only when a fetch for a NEW host happened
+    # (host count grew). After the first few waves the host set is fixed,
+    # and skipping the write drops one Spark job per iteration; readers
+    # fall back to the last committed robots snapshot because the commit
+    # manifest below lists only tables actually staged this iteration.
+    stage_robots = n_robots != prev.get("n_robots")
     discovered, robots_denied = ROB.split_by_robots(discovered_all, robots_cache)
 
     # --- seen filter: committed seen + this iteration's attempts + pending
@@ -263,30 +269,66 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     next_pending = leftover.unionByName(denied_rows).unionByName(new_rows)
 
     # --- results ---
-    titles = P.extract_titles(ok).withColumn("iteration", F.lit(it))
-    captions = P.extract_captions(ok).withColumn("iteration", F.lit(it))
-    sections = P.extract_sections(ok).withColumn("iteration", F.lit(it))
-    reviews = P.extract_reviews(ok).withColumn("iteration", F.lit(it))
-    persons = P.extract_persons(ok).withColumn("iteration", F.lit(it))
-    credits = P.extract_credits(ok).withColumn("iteration", F.lit(it))
-    videos = P.extract_videos(ok).withColumn("iteration", F.lit(it))
-    video_files = P.extract_video_files(ok).withColumn("iteration", F.lit(it))
-    news = P.extract_news(ok).withColumn("iteration", F.lit(it))
-    ratings = P.extract_ratings(ok).withColumn("iteration", F.lit(it))
-    psections = P.extract_psections(ok).withColumn("iteration", F.lit(it))
+    # kind-aware staging: most iterations carry only a few page kinds
+    # (BFS depth waves: titles, then sections/galleries, then persons/
+    # events/companies, then leaves). An extract whose source kind is
+    # absent this iteration is replaced by a STATICALLY empty DataFrame
+    # — its parquet write is a trivial job that never touches the fat
+    # fetched cache or spawns Python workers. Without this, ~24
+    # concurrent staging jobs ran per iteration regardless of content,
+    # and that fixed driver-side cost dominated small-core crawl walls
+    # (measured: the round-2 entity graph dropped N->4N scaling
+    # efficiency to 0.42 before this change). The kind set derives from
+    # the committed fetch_log, so resume replays the same choices; the
+    # staged bytes are identical either way.
+    kinds_present = {
+        r["page_kind"]
+        for r in flog.filter(F.col("status") == 200).select("page_kind").distinct().collect()
+    }
+    empties: set[str] = set()
+
+    def _maybe(df: DataFrame, table: str, *source_kinds: str) -> DataFrame:
+        if kinds_present.intersection(source_kinds):
+            return df
+        empties.add(table)
+        return spark.createDataFrame([], df.schema)
+
+    def _stage(df: DataFrame, table: str) -> None:
+        # statically-empty deltas are written by pyarrow directly —
+        # zero Spark jobs (stage_empty docstring has the numbers)
+        if table in empties:
+            io.stage_empty(df.schema, table, it)
+        else:
+            io.stage(df, table, it)
+
+    titles = _maybe(P.extract_titles(ok).withColumn("iteration", F.lit(it)), "titles", "title")
+    captions = _maybe(P.extract_captions(ok).withColumn("iteration", F.lit(it)), "captions", "photo_detail")
+    sections = _maybe(P.extract_sections(ok).withColumn("iteration", F.lit(it)), "sections", "section")
+    reviews = _maybe(P.extract_reviews(ok).withColumn("iteration", F.lit(it)), "reviews", "reviews")
+    persons = _maybe(P.extract_persons(ok).withColumn("iteration", F.lit(it)), "persons", "person")
+    credits = _maybe(P.extract_credits(ok).withColumn("iteration", F.lit(it)), "credits", "filmo")
+    videos = _maybe(P.extract_videos(ok).withColumn("iteration", F.lit(it)), "videos", "video_player")
+    video_files = _maybe(P.extract_video_files(ok).withColumn("iteration", F.lit(it)), "video_files", "video_blob")
+    news = _maybe(P.extract_news(ok).withColumn("iteration", F.lit(it)), "news", "news")
+    ratings = _maybe(P.extract_ratings(ok).withColumn("iteration", F.lit(it)), "ratings", "ratings")
+    psections = _maybe(P.extract_psections(ok).withColumn("iteration", F.lit(it)), "psections", "psection")
     events_base, event_awards = P.extract_events(ok)
-    events_base = events_base.withColumn("iteration", F.lit(it))
-    event_awards = event_awards.withColumn("iteration", F.lit(it))
-    companies_base = P.extract_companies(ok).withColumn("iteration", F.lit(it))
-    company_films = P.extract_company_films(ok).withColumn("iteration", F.lit(it))
+    events_base = _maybe(events_base.withColumn("iteration", F.lit(it)), "events_base", "event")
+    event_awards = _maybe(event_awards.withColumn("iteration", F.lit(it)), "event_awards", "event")
+    companies_base = _maybe(P.extract_companies(ok).withColumn("iteration", F.lit(it)), "companies_base", "company")
+    company_films = _maybe(P.extract_company_films(ok).withColumn("iteration", F.lit(it)), "company_films", "co_page")
     # ori bytes live ONLY in the images table; renditions stores the
     # small/large payloads. Writing ori into both (as before) doubled the
     # heaviest write of a media iteration; renditions_view() reunites
     # them for readers that want all three renditions.
     renditions_all = P.decode_blobs(ok)
-    renditions = renditions_all.filter(F.col("rendition") != "ori").withColumn(
-        "iteration", F.lit(it)
+    renditions = _maybe(
+        renditions_all.filter(F.col("rendition") != "ori").withColumn(
+            "iteration", F.lit(it)
+        ),
+        "renditions", "image_blob",
     )
+    has_blobs = "image_blob" in kinds_present
 
     metrics = (
         flog.groupBy(
@@ -324,7 +366,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
 
     def _stage_images():
         t_r = time.time()
-        io.stage(renditions, "renditions", it)
+        _stage(renditions, "renditions")
         stage_s["renditions"] = round(time.time() - t_r, 2)
         # flagship images table (input_hint shape): ori rendition +
         # caption. Captions parse one depth earlier, so by blob-fetch time
@@ -343,6 +385,12 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
             )
             .withColumn("iteration", F.lit(it))
         )
+        if not has_blobs:
+            # no image fetches this iteration: skip the cache scan, the
+            # broadcast caption join, AND the Spark write + footer count
+            io.stage_empty(images.schema, "images", it)
+            post_counts["images"] = 0
+            return
         io.stage(images, "images", it)
         # footer-metadata count inside this thread: overlaps with the
         # other staging jobs instead of a serial job after the barrier
@@ -357,25 +405,26 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         # on compaction iterations the full union is staged as a base
         # (superseding all earlier delta dirs at read time)
         ("seen", lambda: io.stage(all_seen if do_compact else seen_delta, "seen", it)),
-        ("titles", lambda: io.stage(titles, "titles", it)),
-        ("captions", lambda: io.stage(caps_all_u if do_compact else captions, "captions", it)),
-        ("sections", lambda: io.stage(sections, "sections", it)),
-        ("reviews", lambda: io.stage(reviews, "reviews", it)),
-        ("persons", lambda: io.stage(persons, "persons", it)),
-        ("credits", lambda: io.stage(credits, "credits", it)),
-        ("videos", lambda: io.stage(videos, "videos", it)),
-        ("video_files", lambda: io.stage(video_files, "video_files", it)),
-        ("news", lambda: io.stage(news, "news", it)),
-        ("ratings", lambda: io.stage(ratings, "ratings", it)),
-        ("psections", lambda: io.stage(psections, "psections", it)),
-        ("events_base", lambda: io.stage(events_base, "events_base", it)),
-        ("event_awards", lambda: io.stage(event_awards, "event_awards", it)),
-        ("companies_base", lambda: io.stage(companies_base, "companies_base", it)),
-        ("company_films", lambda: io.stage(company_films, "company_films", it)),
+        ("titles", lambda: _stage(titles, "titles")),
+        ("captions", lambda: io.stage(caps_all_u, "captions", it)
+            if do_compact else _stage(captions, "captions")),
+        ("sections", lambda: _stage(sections, "sections")),
+        ("reviews", lambda: _stage(reviews, "reviews")),
+        ("persons", lambda: _stage(persons, "persons")),
+        ("credits", lambda: _stage(credits, "credits")),
+        ("videos", lambda: _stage(videos, "videos")),
+        ("video_files", lambda: _stage(video_files, "video_files")),
+        ("news", lambda: _stage(news, "news")),
+        ("ratings", lambda: _stage(ratings, "ratings")),
+        ("psections", lambda: _stage(psections, "psections")),
+        ("events_base", lambda: _stage(events_base, "events_base")),
+        ("event_awards", lambda: _stage(event_awards, "event_awards")),
+        ("companies_base", lambda: _stage(companies_base, "companies_base")),
+        ("company_films", lambda: _stage(company_films, "company_films")),
         ("dead_letter", lambda: io.stage(
             dead.withColumn("iteration", F.lit(it)), "dead_letter", it)),
         ("metrics", lambda: io.stage(metrics, "metrics", it)),
-        ("robots", lambda: io.stage(robots_cache, "robots", it)),
+        *([("robots", lambda: io.stage(robots_cache, "robots", it))] if stage_robots else []),
         ("robots_denied", lambda: io.stage(
             robots_denied.select("canon_url", "host", "page_kind").withColumn(
                 "iteration", F.lit(it)
@@ -417,6 +466,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         "pending_next": n_pending_next,
         "images": n_images,
         "seen_total": seen_hint + n_fetched,
+        "n_robots": n_robots,
         "wall_s": round(time.time() - t0, 3),
         "fetch_s": t_fetch,
         "discover_s": t_discover,
@@ -425,7 +475,10 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     extra = {"summary": summary}
     if do_compact:
         extra["bases"] = {"seen": it, "captions": it}
-    io.commit(it, RESULT_TABLES, extra=extra)
+    committed_tables = [
+        t for t in RESULT_TABLES if t != "robots" or stage_robots
+    ]
+    io.commit(it, committed_tables, extra=extra)
     return summary
 
 

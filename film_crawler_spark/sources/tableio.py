@@ -57,6 +57,29 @@ class TableIO:
         to readers until commit(iteration)."""
         df.write.mode("overwrite").parquet(self._tdir(table, iteration))
 
+    def stage_empty(self, schema, table: str, iteration: int) -> None:
+        """Stage a statically-empty delta WITHOUT a Spark job: one
+        pyarrow-written empty parquet file. A crawl iteration knows from
+        its fetch_log which page kinds are absent; launching a full
+        Spark job (driver planning + scheduling + executor round-trip)
+        to write zero rows was a measurable share of the per-iteration
+        fixed cost that capped small-core scaling. The footer schema
+        must read back as exactly the Spark schema so later log unions
+        line up (asserted by the resume/compaction equality tests)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        d = self._tdir(table, iteration)
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        arrow_schema = to_arrow_schema(schema)
+        empty = pa.table(
+            {f.name: pa.array([], type=f.type) for f in arrow_schema},
+            schema=arrow_schema,
+        )
+        pq.write_table(empty, os.path.join(d, "part-00000-empty.parquet"))
+
     def commit(self, iteration: int, tables: list[str], extra: dict | None = None) -> None:
         """Atomic commit point: temp-write + rename of the manifest."""
         manifest = {
