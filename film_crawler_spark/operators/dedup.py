@@ -38,6 +38,19 @@ def _perm_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism when
+    the input has fewer partitions. The shingle/signature operators do
+    heavy per-row compute BEFORE their first shuffle; a small-file scan
+    (one parquet split) would otherwise run that entire pipeline on one
+    core. At real scale inputs have many splits and this is a no-op; the
+    guard costs one tiny shuffle of raw text only when needed."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
+
+
 def exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical texts: (content_hash, keeper, n_dups)."""
     return (
@@ -46,10 +59,42 @@ def exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def words_expr(text_col):
+    """Normalized word array (JVM-side)."""
+    return F.split(F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " "), " ")
+
+
+def shingles_of_words(words_col, n: int = 3):
+    """Distinct word n-gram shingles from a MATERIALIZED words column.
+
+    The words argument must be a plain column reference, not the split
+    expression itself: Catalyst inlines a complex expression into the
+    transform lambda and re-evaluates it once PER SHINGLE INDEX — the
+    one-liner version cost 7.5x (split+regexp re-run ~50x per row).
+    Callers project words_expr() into a column first."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words_col) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words_col, i + 1, n)),
+        )
+    )
+
+
+def with_shingles(docs: DataFrame, text_col: str, n: int, out: str) -> DataFrame:
+    """docs + a shingle array column, with the words array materialized
+    in an intermediate projection (see shingles_of_words)."""
+    return (
+        docs.withColumn("_words_tmp", words_expr(F.col(text_col)))
+        .withColumn(out, shingles_of_words(F.col("_words_tmp"), n))
+        .drop("_words_tmp")
+    )
+
+
 def word_shingles(text_col, n: int = 3):
-    """Column of distinct word n-gram shingles (JVM-side)."""
-    words = F.split(F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " "), " ")
-    # zip words with 1- and 2-shifted copies: transform over index range
+    """One-shot shingle Column — convenience for small inputs; prefer
+    with_shingles in operators (this form re-evaluates the split per
+    index, see shingles_of_words)."""
+    words = words_expr(text_col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
@@ -86,9 +131,12 @@ def ngram_jaccard_pairs(
       which only a block self-join can produce; O(n^2)-within-block by
       construction, kept for completeness/small blocks.
     """
-    sh = docs.select(
-        F.col(id_col), F.col(block_col).alias("_blk"), word_shingles(F.col(text_col), n).alias("_sh")
-    )
+    # persist: the shingle table feeds three plan branches (the exploded
+    # prefix pipeline and both sides of candidate verification); without
+    # it the scan+shingle computation runs once per branch.
+    sh = with_shingles(_spread(docs), text_col, n, "_sh").select(
+        F.col(id_col), F.col(block_col).alias("_blk"), "_sh"
+    ).persist()
     if threshold > 0:
         # ssjoin-style prefix filter (exact): J(A,B) >= t implies
         # |A∩B| >= ceil(t*|A|), so by pigeonhole every qualifying pair
@@ -104,10 +152,17 @@ def ngram_jaccard_pairs(
         )
         dfreq = ex.groupBy("_blk", "_g").agg(F.count("*").alias("_df"))
         w = Window.partitionBy("_id").orderBy("_df", "_g")
+        # _df >= 2 AFTER the position filter: a df==1 shingle occupies
+        # its prefix slot (positions are ranked over the full df order,
+        # which the correctness proof needs) but can never match another
+        # doc in the self-join — and in natural text MOST shingles are
+        # df==1, so dropping them shrinks the join input several-fold
+        # without touching recall.
         prefix = (
             ex.join(dfreq, ["_blk", "_g"])
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= F.col("_n") - F.ceil(F.col("_n") * threshold) + 1)
+            .filter(F.col("_df") >= 2)
             .select("_id", "_blk", "_g")
         )
         cand = (
@@ -146,6 +201,71 @@ def ngram_jaccard_pairs(
     )
 
 
+# Reusable per-worker workspace for the permutation pass. Fresh large
+# NumPy temporaries are catastrophically slow in this sandbox (~25 us
+# PER PAGE first-touch fault on the snapshot-backed VM: a single
+# (260k x 128) u64 expression cost 146 s single-core, >99% of it page
+# faults — measured with preallocated `out=` the same arithmetic is
+# ~0.3 s). glibc munmaps >128 KB frees, so the faults recur on every
+# batch; the only robust fix is explicit buffer reuse. PySpark reuses
+# worker processes (spark.python.worker.reuse), so a module-level cache
+# pays the fault cost once per executor, not once per task.
+_MH_WS: dict = {}
+# shingle rows per chunk: 2 x 4 MB workspace @ 128 perms. Kept small on
+# purpose — the first touch of workspace pages costs ~1 ms/page here, so
+# a worker pays ~2 s once; 512k elements per op is still fully SIMD.
+_MH_CHUNK = 4096
+
+
+def _mh_workspace(n_perm: int):
+    key = ("perm", n_perm)
+    if key not in _MH_WS:
+        _MH_WS[key] = (
+            np.empty((_MH_CHUNK, n_perm), dtype=np.uint64),
+            np.empty((_MH_CHUNK, n_perm), dtype=np.uint64),
+        )
+    return _MH_WS[key]
+
+
+def _perm_minhash(hv: np.ndarray, a_par: np.ndarray, b_par: np.ndarray,
+                  offsets: np.ndarray) -> np.ndarray:
+    """Per-document minimum of ((a*h + b) mod MERSENNE) over each doc's
+    shingle segment — identical values to the naive expression, computed
+    chunk-wise into a reused workspace. The modulo uses the Mersenne
+    fold (x mod 2^61-1 == (x & M) + (x >> 61), minus M when >= M —
+    exact because a,b,h < 2^31 keeps x < 2^62): u64 integer division
+    doesn't SIMD-vectorize, the fold does."""
+    n_perm = a_par.shape[0]
+    M = np.uint64(MERSENNE)
+    ws, ws2 = _mh_workspace(n_perm)
+    sig = np.full((offsets.shape[0], n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    n = hv.shape[0]
+    for lo in range(0, n, _MH_CHUNK):
+        hi = min(lo + _MH_CHUNK, n)
+        m = hi - lo
+        w, w2 = ws[:m], ws2[:m]
+        np.multiply(hv[lo:hi, None], a_par[None, :], out=w)
+        np.add(w, b_par[None, :], out=w)
+        np.bitwise_and(w, M, out=w2)
+        np.right_shift(w, np.uint64(61), out=w)
+        np.add(w2, w, out=w)                      # folded, in [0, M+1]
+        # conditional -M without a temp: for w < M the u64 subtraction
+        # wraps to >= 2^63 (> any folded value), so min(w, w-M) == w;
+        # for w in {M, M+1} it yields the exact residue {0, 1}
+        np.subtract(w, M, out=w2)
+        np.minimum(w, w2, out=w)
+        # per-doc mins for segments intersecting this chunk
+        first = int(np.searchsorted(offsets, lo, side="right")) - 1
+        last = int(np.searchsorted(offsets, hi, side="left"))
+        for d in range(max(first, 0), last):
+            s = max(int(offsets[d]), lo) - lo
+            e = (int(offsets[d + 1]) if d + 1 < offsets.shape[0] else n)
+            e = min(e, hi) - lo
+            if e > s:
+                np.minimum(sig[d], w[s:e].min(axis=0), out=sig[d])
+    return sig
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_perm: int = 128,
@@ -154,7 +274,8 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, sig array<long>) — MinHash over word shingles, one vectorized
-    NumPy pass per Arrow batch."""
+    NumPy pass per Arrow batch (chunked through a reused workspace — see
+    _perm_minhash for why fresh temporaries are banned here)."""
     a_par, b_par = _perm_params(n_perm)
 
     def _sig(it):
@@ -163,8 +284,7 @@ def minhash_signatures(
                 yield pd.DataFrame({"id": pd.Series([], dtype="int64"), "sig": []})
                 continue
             # gather every shingle in the batch, hash ONCE vectorized,
-            # then per-doc segment mins via reduceat — no per-shingle
-            # Python hashing in the loop
+            # then per-doc segment mins — no per-shingle Python hashing
             all_sh: list[str] = []
             counts = np.empty(len(pdf), dtype=np.int64)
             for j, text in enumerate(pdf[text_col]):
@@ -181,12 +301,9 @@ def minhash_signatures(
                 pd.util.hash_array(np.asarray(all_sh, dtype=object))
                 & np.uint64(0x7FFFFFFF)
             ).astype(np.uint64)
-            # (a*h + b) mod p, min over shingles, per permutation —
-            # exact in uint64 because a, b, h are all < 2^31
-            vals = (hv[:, None] * a_par[None, :] + b_par[None, :]) % MERSENNE
             offsets = np.zeros(len(pdf), dtype=np.int64)
             np.cumsum(counts[:-1], out=offsets[1:])
-            sig = np.minimum.reduceat(vals, offsets, axis=0)
+            sig = _perm_minhash(hv, a_par, b_par, offsets)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(),
@@ -194,7 +311,7 @@ def minhash_signatures(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
         _sig, "id long, sig array<long>"
     )
 
@@ -212,13 +329,20 @@ def minhash_lsh_dups(
     self-join -> exact Jaccard verification (on candidates only).
     Returns (id_a, id_b, jaccard)."""
     rows = n_perm // bands
-    sig = minhash_signatures(docs, n_perm, shingle_n, id_col, text_col)
+    # materialize signatures once: the banded self-join consumes the
+    # plan twice, and exchange reuse is not guaranteed across a Python
+    # UDF boundary — without the persist the signature UDF runs twice.
+    # At corpus scale this is also the canonical plan: signatures are
+    # always materialized before LSH banding. ~n_docs x 1 KB of cache.
+    sig = minhash_signatures(docs, n_perm, shingle_n, id_col, text_col).persist()
     banded = sig.select(
         "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(F.slice("sig", b * rows + 1, rows).cast("string")),
+                # hash the array directly — casting to string first
+                # materializes a formatted string per band and costs ~3x
+                lambda b: F.hash(F.slice("sig", b * rows + 1, rows)),
             )
         ).alias("band", "band_hash"),
     )
@@ -229,7 +353,9 @@ def minhash_lsh_dups(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sh = docs.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    sh = with_shingles(_spread(docs), text_col, shingle_n, "sh").select(
+        F.col(id_col).alias("id"), "sh"
+    )
     verified = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -266,7 +392,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         lambda w: w != F.lit(""),
     )
     ids = docs.select(F.col(id_col).alias("id"))
-    exh = docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w")).select(
+    exh = _spread(docs).select(F.col(id_col).alias("id"), F.explode(words).alias("w")).select(
         "id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("hv")
     )
     aggs = [F.count("*").alias("n")] + [
