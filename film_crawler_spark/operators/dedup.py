@@ -211,10 +211,12 @@ def ngram_jaccard_pairs(
 # worker processes (spark.python.worker.reuse), so a module-level cache
 # pays the fault cost once per executor, not once per task.
 _MH_WS: dict = {}
-# shingle rows per chunk: 2 x 4 MB workspace @ 128 perms. Kept small on
-# purpose — the first touch of workspace pages costs ~1 ms/page here, so
-# a worker pays ~2 s once; 512k elements per op is still fully SIMD.
-_MH_CHUNK = 4096
+# shingle rows per chunk: 2 x 1 MB workspace @ 128 perms. Kept small on
+# purpose — the first touch of workspace pages costs ~1 ms/page here and
+# is paid once PER WORKER (32 workers at local[32]), so total warmup
+# scales with workspace size x worker count; 128k elements per op is
+# still fully SIMD.
+_MH_CHUNK = 1024
 
 
 def _mh_workspace(n_perm: int):
@@ -392,7 +394,11 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         lambda w: w != F.lit(""),
     )
     ids = docs.select(F.col(id_col).alias("id"))
-    exh = _spread(docs).select(F.col(id_col).alias("id"), F.explode(words).alias("w")).select(
+    # no _spread here: simhash is one explode + groupBy — the groupBy
+    # shuffle redistributes anyway, and the added repartition measured
+    # 2x SLOWER at bench scale (extra text shuffle + 32-way partial-agg
+    # merge of 61 columns beats the single-core explode it saves).
+    exh = docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w")).select(
         "id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("hv")
     )
     aggs = [F.count("*").alias("n")] + [

@@ -164,7 +164,17 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     dequeued = FR.dequeue(pending, pol.budget_html, pol.budget_img, n_salts)
 
     # --- fetch (persist: feeds parse x4, metrics, seen delta) ---
-    fetched = fetch_batch(dequeued, cfg.site, pol).persist()
+    # sortWithinPartitions(page_kind) before persist: the in-memory cache
+    # keeps per-batch column stats and prunes batches against scan
+    # predicates (inMemoryColumnarStorage.partitionPruning). With rows
+    # sorted by kind, cached batches are kind-homogeneous, so the ~15
+    # HTML extract jobs (filter kind == 'title'/'section'/...) skip the
+    # image-blob batches entirely instead of dragging the full blob body
+    # column through memory once per extract — on a media wave that was
+    # ~15 x the blob bytes of redundant cache traffic. Narrow op: no
+    # shuffle, no ordering semantics (fetch order lineage lives in the
+    # seq/priority columns, not physical row order).
+    fetched = fetch_batch(dequeued, cfg.site, pol).sortWithinPartitions("page_kind").persist()
     # materialize the cache EAGERLY (and take the summary counts in the
     # same job): the staging fan-out below runs ~12 concurrent jobs that
     # all consume this cache — launched cold, they convoy on the

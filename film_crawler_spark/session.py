@@ -38,7 +38,7 @@ def engine_conf(shuffle_partitions: int | str = "32") -> dict[str, str]:
         os.environ.setdefault(k, v)
     conf.update({
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
-        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "true"),
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
@@ -49,6 +49,11 @@ def engine_conf(shuffle_partitions: int | str = "32") -> dict[str, str]:
         # reader on binary columns (4096 x 20 KB x n_tasks)
         "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
         "spark.sql.parquet.columnarReaderBatchSize": "512",
+        # same fat-row rationale for the dataframe CACHE: default 10000-row
+        # cache batches hold ~200 MB of blob bytes each while building;
+        # 1024 keeps builder allocations bounded and makes batch-stat
+        # pruning (kind-sorted cache, see crawl_loop) fine-grained
+        "spark.sql.inMemoryColumnarStorage.batchSize": "1024",
         "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     })
     return conf
