@@ -575,6 +575,37 @@ GROUP BY label, i
 """
 
 
+def q_news_reversal(spark, sf):
+    """O5: news scroll reversal (reference spiders.py:4690
+    ``newses.reverse()``): the site serves items newest-first; the stored
+    order is oldest-first. Modeled as the actual reversal op — collect
+    each user's scraped (newest-first) list, reverse it, re-number — not
+    as a plain ascending sort, so the array-reverse physical path is what
+    the oracle verifies."""
+    ev = t(spark, sf, "events").filter(F.col("event_type") == "view")
+    scraped = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"))), asc=False
+        ).alias("_newest_first")
+    )
+    rev = scraped.select(
+        "user_id", F.posexplode(F.reverse("_newest_first")).alias("_p", "_e")
+    )
+    return rev.select(
+        "user_id",
+        (F.col("_p") + 1).cast("long").alias("ord"),
+        F.col("_e.event_id").alias("event_id"),
+    )
+
+
+SQL_NEWS_REVERSAL = """
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS ord,
+       event_id
+FROM events WHERE event_type = 'view'
+"""
+
+
 # --- rows-only (no SQL twin; verified by pytest instead) -------------------
 
 
@@ -627,6 +658,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "event_json_extract": (q_event_json_extract, SQL_EVENT_JSON_EXTRACT),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "event_dedup_latest": (q_event_dedup_latest, SQL_EVENT_DEDUP_LATEST),
+    "news_reversal": (q_news_reversal, SQL_NEWS_REVERSAL),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
