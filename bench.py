@@ -180,6 +180,19 @@ def crawl_child(cores: int, seeds_n: int, warehouse: str) -> None:
 def run_crawl_bench() -> dict:
     out = {}
     lo, hi = CORES_PAIR
+    # Untimed warmup child: the first crawl-shaped workload after machine
+    # idle pays a one-time machine-wide page-fault storm on this
+    # snapshot-backed sandbox (measured 171 s vs 87 s steady for an
+    # identical 600-seed child; guest-physical pages materialize on first
+    # touch and stay materialized for later processes). Without this, the
+    # storm lands inside the FIRST timed leg and swings the scaling
+    # ratio by >0.1 run-to-run.
+    wh = tempfile.mkdtemp(prefix="bench_crawl_warm_", dir=BENCH_TMP)
+    try:
+        log("[bench] warmup crawl child (untimed)...")
+        _run_crawl_leg(hi, wh, seeds=200)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
     for cores in (lo, hi):
         wh = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_", dir=BENCH_TMP)
         log(f"[bench] crawl at local[{cores}] ({CRAWL_SEEDS} seeds)...")
@@ -197,7 +210,7 @@ def run_crawl_bench() -> dict:
     return out
 
 
-def _run_crawl_leg(cores: int, wh: str) -> dict:
+def _run_crawl_leg(cores: int, wh: str, seeds: int | None = None) -> dict:
         # taskset pins the child to `cores` executor CPUs + 2 driver
         # CPUs. Unpinned, a local[N] JVM on an idle big box borrows
         # arbitrary extra cores (Arrow feeder threads + Python workers
@@ -210,7 +223,8 @@ def _run_crawl_leg(cores: int, wh: str) -> dict:
         # faithfully; the N->4N ratio compares executor cores only.
     pin = ["taskset", "-c", f"0-{cores + 1}"]
     proc = subprocess.run(
-        pin + [sys.executable, os.path.abspath(__file__), "--crawl-child", str(cores), str(CRAWL_SEEDS), wh],
+        pin + [sys.executable, os.path.abspath(__file__), "--crawl-child", str(cores),
+               str(seeds if seeds is not None else CRAWL_SEEDS), wh],
         capture_output=True,
         text=True,
         timeout=5400,

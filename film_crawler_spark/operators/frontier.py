@@ -77,22 +77,35 @@ def distributed_rank(
     partition key funnels every row through one task).
 
     Plan: range-partition by the sort key (partition id then increases
-    along the global order), rank within each partition in parallel,
-    compute per-partition row counts (a tiny P-row aggregate), turn them
-    into cumulative offsets with a window over the P-row side only, and
-    broadcast-join the offsets back. All declarative — no driver action,
-    no collect — and every wide stage is keyed by the sort key, so the
-    plan survives a 10^10-row seed list: the only serial work is the
-    P-row offset window.
+    along the global order), sort WITHIN partitions, and read off each
+    row's (partition, offset) from ``monotonically_increasing_id`` —
+    whose documented encoding is ``partition_index << 33 | row_offset``.
+    Per-partition row counts (a tiny P-row aggregate) become cumulative
+    offsets via a window over the P-row side only, broadcast-joined
+    back. All declarative — no driver action, no collect — and the big
+    table crosses the network exactly once (the range exchange; the
+    counts branch reads it back as a ReusedExchange). Note the earlier
+    formulation (row_number over partitionBy(spark_partition_id()))
+    planned an EXTRA full hash-exchange on _pid because the window
+    cannot see that rows are already partition-local — mono-id needs no
+    window, so that shuffle is gone.
+
+    Cross-branch consistency: the rank branch and the counts branch both
+    derive _pid from the SAME materialized shuffle stage (ReusedExchange
+    under AQE, plain exchange reuse without), and AQE's partition
+    coalescing is a deterministic function of that one stage's sizes, so
+    the two derivations always agree.
 
     ``order_cols``: list of Columns (may carry .desc()). Ranks are total
     and deterministic when the key is unique (seeds are distinct ids).
     """
     args = [num_partitions] if num_partitions else []
-    p = df.repartitionByRange(*args, *order_cols)
-    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
-    x = p.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_rn", F.row_number().over(w_in)
+    p = df.repartitionByRange(*args, *order_cols).sortWithinPartitions(*order_cols)
+    x = (
+        p.withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+        .withColumn("_rn", F.col("_mid").bitwiseAND((1 << 33) - 1) + 1)
+        .drop("_mid")
     )
     counts = x.groupBy("_pid").agg(F.count("*").alias("_c"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

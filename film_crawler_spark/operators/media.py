@@ -1,0 +1,211 @@
+"""Multimodal media operators over opaque binary columns.
+
+The images table `(image_id, bytes, w, h, fmt, caption, phash)` and the
+video_files table `(vi, url, bytes, n_bytes, ...)` carry media as opaque
+``binary`` columns with typed metadata — the 100 TB layout where blob
+bytes live in one fat column and every transformation is an Arrow-batched
+``mapInPandas`` pass that touches the bytes exactly once.
+
+Three operators:
+
+* ``resize_images`` — decode (real in-repo PNG/DCTQ codecs), area-average
+  resample (pure NumPy, exact for integer grids), re-encode. Real
+  end-to-end.
+* ``image_embed`` — decode -> luma -> 32x32 mean-pool -> 2D DCT -> the
+  low-frequency 8x8 block (DC dropped) as an L2-normalized 63-dim
+  ``array<float>``: a deterministic perceptual embedding whose cosine
+  neighborhoods feed the similarity operators (cosine_topk /
+  ann_topk_lsh) unchanged. Real end-to-end.
+* ``sample_frames`` — per-video frame sampling. The Spark plumbing
+  (schema, batching, one-row-to-many-frames fan-out) is real; the codec
+  seam ``decode_video_frames`` raises ``NotImplementedError`` for real
+  mp4 payloads (no AV libraries in this environment — plug pyav/ffmpeg
+  there on a real deployment) and decodes the repo's deterministic
+  synthetic payload (``sources/synthetic_site.py`` ``video_bytes``) into
+  reproducible fake frames so the distributed path is testable.
+
+Reference parity: the reference downloads media bytes and stops
+(spiders.py:3856-3897 saveIMG/save_video); these operators are the
+training-data extensions layered on the same columns.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..functions import images as IMG
+
+# ---------------------------------------------------------------------------
+# NumPy kernels (shared by the mapInPandas passes)
+# ---------------------------------------------------------------------------
+
+
+def _mean_pool(plane: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Area-average resample of a 2-D float plane to (oh, ow) via
+    bincount on index grids — exact partition of input pixels, any
+    input size, no fresh large temporaries (sandbox page-fault rule)."""
+    h, w = plane.shape
+    yi = (np.arange(h) * oh // h)[:, None]
+    xi = (np.arange(w) * ow // w)[None, :]
+    idx = (yi * ow + xi).ravel()
+    sums = np.bincount(idx, weights=plane.ravel(), minlength=oh * ow)
+    cnts = np.bincount(idx, minlength=oh * ow)
+    return (sums / np.maximum(cnts, 1)).reshape(oh, ow)
+
+
+def resize_rgb(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Area-average resize of (h, w, 3) uint8 to (out_h, out_w, 3)."""
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    for c in range(3):
+        out[:, :, c] = np.clip(
+            np.round(_mean_pool(rgb[:, :, c].astype(np.float64), out_h, out_w)),
+            0,
+            255,
+        ).astype(np.uint8)
+    return out
+
+
+def embed_rgb(rgb: np.ndarray) -> np.ndarray:
+    """63-dim L2-normalized low-frequency DCT embedding (float32).
+
+    Same front end as phash64 (luma -> 32x32 mean pool -> DCT -> 8x8
+    low-frequency block, DC dropped) but keeps the real-valued
+    coefficients instead of thresholding to bits, so cosine distance
+    ranks perceptual similarity instead of just detecting near-identity.
+    """
+    gray = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    small = _mean_pool(gray, 32, 32)
+    f = IMG._DCT32 @ small @ IMG._DCT32.T
+    vec = f[:8, :8].ravel()[1:].astype(np.float32)  # drop DC
+    n = float(np.linalg.norm(vec))
+    return vec / n if n > 0 else vec
+
+
+# ---------------------------------------------------------------------------
+# video frame decode seam
+# ---------------------------------------------------------------------------
+
+_SYNTH_MP4_MAGIC = b"\x00\x00\x00\x18ftypmp42"
+_FRAME_W = _FRAME_H = 16
+
+
+def decode_video_frames(data: bytes) -> Iterator[np.ndarray]:
+    """Yield (h, w, 3) uint8 frames from a video payload.
+
+    STUB SEAM: this environment ships no AV libraries, so only the
+    repo's synthetic deterministic payload is decodable — its "frames"
+    are reproducible pseudo-pixels derived from the payload bytes (one
+    16x16 frame per 256-byte slice), which exercises every distributed
+    aspect of the operator (schema, fan-out, batching) with verifiable
+    determinism. Real mp4 raises: plug pyav/ffmpeg here on deployment.
+    """
+    if data[: len(_SYNTH_MP4_MAGIC)] != _SYNTH_MP4_MAGIC:
+        raise NotImplementedError(
+            "real mp4 decode requires an AV library (pyav/ffmpeg) — "
+            "not available in this environment"
+        )
+    body = data[len(_SYNTH_MP4_MAGIC):]
+    n_frames = max(1, len(body) // 256)
+    for i in range(n_frames):
+        chunk = body[i * 256 : (i + 1) * 256]
+        seed = zlib.crc32(chunk) & 0xFFFFFFFF
+        rng = np.random.default_rng(seed)
+        yield rng.integers(0, 256, size=(_FRAME_H, _FRAME_W, 3), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators
+# ---------------------------------------------------------------------------
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """(image_id, bytes, ...) -> (image_id, bytes, w, h, fmt) resized to
+    (out_w, out_h) and PNG-encoded. One Arrow pass over the blob column;
+    narrow (no shuffle) — partitioning of the input is preserved."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rgb, _fmt = IMG.decode_image(bytes(r.bytes))
+                out = resize_rgb(rgb, out_w, out_h)
+                rows.append((r.image_id, IMG.png_encode(out), out_w, out_h, "png"))
+            yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA.fields])
+
+    return images.select("image_id", "bytes").mapInPandas(_run, _RESIZE_SCHEMA)
+
+
+_EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("emb", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def image_embed(images: DataFrame) -> DataFrame:
+    """(image_id, bytes, ...) -> (image_id, emb: array<float> 63-dim).
+    Output plugs straight into similarity.cosine_topk / ann_topk_lsh
+    (rename emb->vec / image_id->vec_id at the call site)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rgb, _fmt = IMG.decode_image(bytes(r.bytes))
+                rows.append((r.image_id, embed_rgb(rgb).tolist()))
+            yield pd.DataFrame(rows, columns=[f.name for f in _EMBED_SCHEMA.fields])
+
+    return images.select("image_id", "bytes").mapInPandas(_run, _EMBED_SCHEMA)
+
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("vi", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+def sample_frames(video_files: DataFrame, every_n: int = 1) -> DataFrame:
+    """(vi, bytes, ...) -> one row per sampled frame (every ``every_n``-th),
+    PNG-encoded. One-to-many fan-out inside the Arrow pass — frame rows
+    are emitted per input batch, so a long video never materializes all
+    its frames driver-side or in one Python list per partition."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in _FRAMES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for i, frame in enumerate(decode_video_frames(bytes(r.bytes))):
+                    if i % every_n:
+                        continue
+                    rows.append(
+                        (r.vi, i, IMG.png_encode(frame), frame.shape[1], frame.shape[0], "png")
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return video_files.select("vi", "bytes").mapInPandas(_run, _FRAMES_SCHEMA)
