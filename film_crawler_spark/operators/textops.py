@@ -45,18 +45,34 @@ def _occurrences(padded: Column, word: str) -> Column:
     ).cast("int")
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    padded = F.concat(F.lit(" "), F.lower(norm_ws(text)), F.lit(" "))
+def padded_lower(text: Column) -> Column:
+    """Space-padded, lowercased, whitespace-normalized text — the shared
+    front end of the marker-count heuristics. MATERIALIZE this to a real
+    column (``withColumn``) before feeding the ``*_from`` builders when
+    the input is raw text: Catalyst inlines a repeated non-attribute
+    subtree into every reference, so the \\s+ regex would otherwise run
+    once per marker word per row (measured ~3x the whole-query cost on
+    the bench documents)."""
+    return F.concat(F.lit(" "), F.lower(norm_ws(text)), F.lit(" "))
+
+
+def lang_scores_from(padded: Column) -> dict[str, Column]:
+    """Marker-hit counts per language over an already-padded column."""
     return {
         lang: sum((_occurrences(padded, w) for w in words), F.lit(0))
         for lang, words in LANG_MARKERS.items()
     }
 
 
-def lang_id(text: Column) -> Column:
+def lang_scores(text: Column) -> dict[str, Column]:
+    return lang_scores_from(padded_lower(text))
+
+
+def lang_id_from(padded: Column) -> Column:
     """argmax over marker-hit counts; ties broken by fixed language order;
-    all-zero => 'und' (undetermined)."""
-    scores = lang_scores(text)
+    all-zero => 'und' (undetermined). ``padded`` should be a materialized
+    padded_lower column (see its docstring)."""
+    scores = lang_scores_from(padded)
     langs = list(LANG_MARKERS)
     best = F.greatest(*[scores[lg] for lg in langs])
     expr = F.lit("und")
@@ -65,18 +81,22 @@ def lang_id(text: Column) -> Column:
     return F.when(best <= 0, F.lit("und")).otherwise(expr)
 
 
-def quality_score(text: Column) -> Column:
+def lang_id(text: Column) -> Column:
+    return lang_id_from(padded_lower(text))
+
+
+def quality_score_from(t: Column, padded: Column) -> Column:
     """Deterministic [0,1] quality heuristic: mean-word-length band,
     stopword presence, length band, alpha ratio. Rounded to 6 dp so the
-    DuckDB twin hashes identically."""
-    t = norm_ws(text)
+    DuckDB twin hashes identically. ``t`` is the norm_ws'd text and
+    ``padded`` its padded_lower form — pass materialized columns."""
     n_tok = token_count(t)
     n_chars = F.length(t)
     mean_wl = n_chars / F.greatest(n_tok, F.lit(1))
     alpha_ratio = (
         F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")) / F.greatest(n_chars, F.lit(1))
     )
-    en = lang_scores(t)["en"]
+    en = lang_scores_from(padded)["en"]
     stop_ratio = en / F.greatest(n_tok, F.lit(1))
     score = (
         F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(0.3)).otherwise(F.lit(0.0))
@@ -85,6 +105,11 @@ def quality_score(text: Column) -> Column:
         + alpha_ratio * F.lit(0.3)
     )
     return F.round(score, 6)
+
+
+def quality_score(text: Column) -> Column:
+    t = norm_ws(text)
+    return quality_score_from(t, padded_lower(t))
 
 
 def fingerprint(text: Column) -> Column:

@@ -448,9 +448,13 @@ SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens 
 
 
 def q_lang_id(spark, sf):
-    return t(spark, sf, "documents").select(
-        "doc_id", TX.lang_id(F.col("text")).alias("pred_lang")
+    # materialize the padded text: the scores reference it ~24x, and a
+    # non-attribute subtree is re-evaluated per reference (textops
+    # padded_lower docstring)
+    docs = t(spark, sf, "documents").withColumn(
+        "_pad", TX.padded_lower(F.col("text"))
     )
+    return docs.select("doc_id", TX.lang_id_from(F.col("_pad")).alias("pred_lang"))
 
 
 def _sql_occ(word: str) -> str:
@@ -482,8 +486,14 @@ FROM s
 
 
 def q_quality_score(spark, sf):
-    return t(spark, sf, "documents").select(
-        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    docs = (
+        t(spark, sf, "documents")
+        .withColumn("_t", TX.norm_ws(F.col("text")))
+        .withColumn("_pad", TX.padded_lower(F.col("_t")))
+    )
+    return docs.select(
+        "doc_id",
+        TX.quality_score_from(F.col("_t"), F.col("_pad")).alias("quality"),
     )
 
 
