@@ -388,10 +388,15 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     partial aggregates (bit counts + n) -> one tiny shuffle of partial
     aggs keyed by doc id. Docs with no words get simhash 0 via the final
     left join against the id set.
+
+    The wide expressions are built as SQL strings through ``F.expr`` —
+    one JVM parse each — not nested Python Column operators: the 61-term
+    reconstruction chain alone cost ~2.2 s of Py4J round-trips per call
+    (~6x the job's execution time), pure driver overhead.
     """
-    words = F.filter(
-        F.split(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " "),
-        lambda w: w != F.lit(""),
+    words = F.expr(
+        rf"filter(split(regexp_replace(trim(lower(`{text_col}`)), '\\s+', ' '), ' '),"
+        " w -> w != '')"
     )
     ids = docs.select(F.col(id_col).alias("id"))
     # no _spread here: simhash is one explode + groupBy — the groupBy
@@ -399,20 +404,17 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     # 2x SLOWER at bench scale (extra text shuffle + 32-way partial-agg
     # merge of 61 columns beats the single-core explode it saves).
     exh = docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w")).select(
-        "id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("hv")
+        "id", F.expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as long) as hv")
     )
-    aggs = [F.count("*").alias("n")] + [
-        F.sum(F.shiftright("hv", i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-        for i in range(SIMHASH_BITS)
+    aggs = [F.expr("count(*) as n")] + [
+        F.expr(f"sum(shiftright(hv, {i}) & 1) as b{i}") for i in range(SIMHASH_BITS)
     ]
     per = exh.groupBy("id").agg(*aggs)
-    sim_expr = None
-    for i in range(SIMHASH_BITS):
-        term = F.when(
-            F.col(f"b{i}") * 2 >= F.col("n"), F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sim_expr = term if sim_expr is None else sim_expr + term
-    sim = per.select("id", sim_expr.alias("simhash"))
+    recon = " + ".join(
+        f"if(b{i}*2 >= n, cast({1 << i} as bigint), cast(0 as bigint))"
+        for i in range(SIMHASH_BITS)
+    )
+    sim = per.select("id", F.expr(recon).alias("simhash"))
     return ids.join(sim, "id", "left").select(
         "id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
     )
