@@ -299,11 +299,13 @@ FROM (SELECT date_trunc('month', min(o_orderdate)) AS mn,
 
 def q_epoch_slicing(spark, sf):
     """O3: fixed-size epoch slicing as rank div batch (spiders.py:211-213,
-    270-271; THREADS*2 generalized to 64)."""
-    w = Window.orderBy("o_orderkey")
+    270-271; THREADS*2 generalized to 64). Rank comes from the
+    range-partitioned distributed plan, not a single-task global window
+    (o_orderkey is unique, so the rank — and every epoch — is exact)."""
+    o = t(spark, sf, "orders").select("o_orderkey")
+    ranked = FR.distributed_rank(o, [F.col("o_orderkey")], "rank", start=1)
     return (
-        t(spark, sf, "orders")
-        .withColumn("epoch", F.floor((F.row_number().over(w) - 1) / 64).cast("long"))
+        ranked.withColumn("epoch", F.floor((F.col("rank") - 1) / 64).cast("long"))
         .groupBy("epoch")
         .agg(F.count("*").alias("n"))
     )
