@@ -136,6 +136,55 @@ def ann_topk_lsh(
     )
 
 
+def cosine_near_dups(
+    df: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 16,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space member of
+    the dedup family (exact / minhash / simhash / ngram-jaccard /
+    embedding-cosine). Candidates come from a multi-table
+    random-hyperplane LSH **self-join**: two vectors are candidates iff
+    they share a bucket in ANY of the ``n_tables`` independent tables.
+    Candidates are exact-verified JVM-side (zip_with/aggregate cosine),
+    so precision is exact; recall is probabilistic in the LSH stage —
+    a pair at cosine c survives a table of p planes with prob
+    (1 - arccos(c)/pi)^p, and misses all t tables with prob
+    (1-that)^t (~1e-9 per pair at c=0.999 with 16x8). The corpus-side
+    cost is one groupBy-(table, bucket) shuffle + the candidate
+    equi-join — no n^2 scan; at 10^10 vectors raise ``n_planes`` so
+    bucket occupancy stays ~constant (same knob as ann_topk_lsh).
+
+    Returns (id_a, id_b, score) with id_a < id_b, score rounded to 6 dp.
+    """
+    # persist: the bucket table is both sides of the candidate self-join,
+    # and a self-join across a Python-UDF boundary re-runs the UDF
+    # (no exchange reuse) — without this the signature matmul runs twice.
+    b = hyperplane_buckets(
+        df, n_planes, dim, n_tables=n_tables, id_col=id_col, vec_col=vec_col
+    ).persist()
+    cand = (
+        b.select(F.col("id").alias("id_a"), "table", "bucket")
+        .join(b.select(F.col("id").alias("id_b"), "table", "bucket"), ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("score", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
 def phash_near_dups(
     images: DataFrame, max_hamming: int | None = None, n_bands: int = 8
 ) -> DataFrame:

@@ -568,6 +568,43 @@ SELECT query_id, neighbor_id, score FROM (
 """
 
 
+def q_cosine_near_dups(spark, sf):
+    """Embedding-cosine near-dup pairs — the vector-space dedup
+    (LSH-bucketed candidates + exact cosine verify, similarity.py).
+    The synthetic embeddings table has no natural near-dup pairs (max
+    pairwise cosine ~0.6 at every sf), so the query deterministically
+    plants one perturbed copy (x*1.001 + 0.002 in double math) of every
+    5th vector at vec_id+1_000_000: planted cosine >= 0.9998 against a
+    <= 0.61 background. The oracle twin plants identically and
+    brute-forces all pairs, so it is the completeness gate for the
+    probabilistic LSH candidate stage — at these parameters every
+    planted pair agrees in >= 4 of the 8 hash tables (seed 11), with
+    per-pair miss probability ~1e-9 at cosine 0.999."""
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dup = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(1.001) + F.lit(0.002)).alias("v"),
+    )
+    corpus = emb.unionByName(dup)
+    return SIM.cosine_near_dups(corpus, threshold=0.99, vec_col="v")
+
+
+SQL_COSINE_NEAR_DUPS = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dup AS (SELECT vec_id + 1000000 AS vec_id,
+               list_transform(v, x -> x * 1.001 + 0.002) AS v
+        FROM base WHERE vec_id % 5 = 0),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dup)
+SELECT id_a, id_b, score FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS score
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+WHERE score >= 0.99
+"""
+
+
 def q_embedding_centroids(spark, sf):
     """Per-label centroid of the embedding column (posexplode + agg)."""
     emb = t(spark, sf, "embeddings")
@@ -678,6 +715,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "cosine_near_dups": (q_cosine_near_dups, SQL_COSINE_NEAR_DUPS),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "minhash_lsh_dups": (q_minhash_lsh_dups, None),
     "simhash": (q_simhash, SQL_SIMHASH),

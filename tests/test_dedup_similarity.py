@@ -112,3 +112,25 @@ def test_phash_near_dups(spark):
     # asking for more distance than the bands guarantee must raise
     with pytest.raises(ValueError):
         SIM.phash_near_dups(df, max_hamming=10, n_bands=8)
+
+
+def test_cosine_near_dups(spark):
+    """Embedding-cosine near-dup: recall 1.0 on planted perturbed copies
+    (cosine >= 0.9998), precision exact (verification stage), and zero
+    pairs from the unrelated background (max natural cosine ~0.6)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dup = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(1.001) + F.lit(0.002)).alias("v"),
+    )
+    n_planted = dup.count()
+    pairs = SIM.cosine_near_dups(
+        emb.unionByName(dup), threshold=0.99, vec_col="v"
+    ).collect()
+    assert len(pairs) == n_planted
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+        (i, i + 1000000) for i in range(0, 500, 5)
+    }
+    assert all(r["score"] >= 0.99 for r in pairs)
