@@ -3,10 +3,15 @@
 * brute-force cosine top-k — the exactness baseline: broadcast the
   (small) query set, compute dot products JVM-side with zip_with /
   aggregate (no Python in the path), window top-k per query.
-* LSH-bucketed ANN — the scale path: random-hyperplane signatures
+* LSH-bucketed ANN — a scale path: random-hyperplane signatures
   (vectorized pandas UDF) bucket the corpus; search only within the
   query's bucket (+ multiprobe neighbors). At 100 TB the corpus-side
   shuffle is a single groupBy bucket; queries broadcast.
+* IVF ANN — the other scale path: a k-means coarse quantizer (trained
+  distributed, Lloyd iterations as DataFrame aggregations) partitions
+  the corpus into inverted lists; queries probe only their ``nprobe``
+  nearest lists. Data-adaptive cells beat data-oblivious hyperplanes
+  when the corpus is clustered.
 * phash_near_dups — Hamming-ball pairs over the images table's phash
   column, blocked by 16-bit prefix bands (an image-side near-dup pass).
 """
@@ -93,6 +98,32 @@ def hyperplane_buckets(
     return df.select(id_col, vec_col).mapInPandas(_b, "id long, table int, bucket int")
 
 
+def _exact_topk_on_candidates(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared ANN tail: exact cosine on (query_id, neighbor_id) candidate
+    pairs, then per-query top-k. Scoring is JVM-side; the query side is
+    broadcast (small by contract)."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("score", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,19 +152,141 @@ def ann_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    scored = (
-        cand.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .withColumn("score", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    return _exact_topk_on_candidates(cand, corpus, queries, k, id_col, vec_col)
+
+
+def _nearest_cells(df, centroids: np.ndarray, id_col: str, vec_col: str, nprobe: int) -> DataFrame:
+    """(id, cell) rows: each vector's ``nprobe`` nearest coarse centroids
+    by cosine (vectors and centroids L2-normalized; one NumPy matmul per
+    Arrow batch, no per-row Python)."""
+    cT = centroids.T  # (dim, k); tiny, ships in the UDF closure
+
+    def _a(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "cell": []})
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ cT  # (n, k)
+            p = min(nprobe, sims.shape[1])
+            cells = np.argpartition(-sims, p - 1, axis=1)[:, :p]  # (n, p)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(), p),
+                    "cell": cells.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_a, "id long, cell int")
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained distributed: each
+    Lloyd iteration is one fused assign+partial-sum pass — the UDF emits
+    at most k rows (cell, count, vector-sum) PER ARROW BATCH (map-side
+    combine by construction, so the shuffle carries ~k·n_batches tiny
+    rows, never the corpus), then a groupBy(cell) merge; only the k×dim
+    centroid matrix reaches the driver per iteration. Init is
+    deterministic: the ``n_centroids`` vectors with the smallest
+    murmur3(id) (a stable pseudo-random sample, same hash on every
+    executor). At 10^10 rows train on a sampled subset; Lloyd cost is
+    O(n·k·dim) per iteration either way.
+
+    Returns an L2-normalized (n_centroids, dim) ndarray. Empty cells
+    keep their previous centroid. Float sums' accumulation order is not
+    fixed — centroids are stable to ~1e-12, which can flip cell
+    assignment only for ties (recall gates in tests carry the margin)."""
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.hash(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "score")
+    cents = np.stack([np.asarray(r[1], dtype=np.float64) for r in seed_rows])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    vecs = df.select(id_col, vec_col)
+    for _ in range(iters):
+        cT = cents.T
+
+        def _partials(it, cT=cT):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                cells = np.argmax(m @ cT, axis=1)
+                present = np.unique(cells)
+                yield pd.DataFrame(
+                    {
+                        "cell": present.astype(np.int32),
+                        "c": [int((cells == c).sum()) for c in present],
+                        "s": [m[cells == c].sum(axis=0).tolist() for c in present],
+                    }
+                )
+
+        merged = (
+            vecs.mapInPandas(_partials, "cell int, c long, s array<double>")
+            .select("cell", "c", F.posexplode("s").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.sum(F.when(F.col("pos") == 0, F.col("c"))).alias("c"))
+            .collect()
+        )
+        new = cents.copy()
+        agg = np.zeros_like(cents)
+        cnt = np.zeros(len(cents), dtype=np.int64)
+        for r in merged:
+            agg[r["cell"], r["pos"]] = r["s"]
+            if r["pos"] == 0:
+                cnt[r["cell"]] = r["c"]
+        nonempty = cnt > 0
+        new[nonempty] = agg[nonempty] / cnt[nonempty, None]
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cents = new
+    return cents
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the
+    data-adaptive counterpart to ``ann_topk_lsh``: a k-means coarse
+    quantizer assigns every corpus vector to its nearest cell (the
+    inverted lists); each query probes only its ``nprobe`` nearest
+    cells, and only those lists' vectors get exact cosine scoring.
+    Expected scan fraction is ~nprobe/n_centroids of the corpus per
+    query (cells are data-sized, so clustered corpora do better than
+    hyperplane buckets). Corpus-side cost: the training passes plus one
+    assignment pass and one equi-join shuffle on ``cell`` — no n²; at
+    10^10 vectors raise ``n_centroids`` (IVF's occupancy knob, like
+    LSH's n_planes) and train on a sample."""
+    cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    ca = _nearest_cells(corpus, cents, id_col, vec_col, nprobe=1).select(
+        F.col("id").alias("neighbor_id"), "cell"
     )
+    qa = _nearest_cells(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col("id").alias("query_id"), "cell"
+    )
+    cand = (
+        ca.join(F.broadcast(qa), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _exact_topk_on_candidates(cand, corpus, queries, k, id_col, vec_col)
 
 
 def cosine_near_dups(

@@ -682,6 +682,17 @@ def q_ann_lsh_topk(spark, sf):
     return SIM.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=4, n_tables=12)
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF approximate top-k: k-means coarse quantizer (trained
+    distributed, deterministic murmur3-sampled init) + nprobe inverted
+    lists; non-SQL (float-sum accumulation order makes centroids
+    1e-12-stable, not bit-stable). Recall vs exact measured in tests."""
+    emb = t(spark, sf, "embeddings")
+    return SIM.ann_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=8, nprobe=4, iters=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -720,4 +731,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "minhash_lsh_dups": (q_minhash_lsh_dups, None),
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
 }

@@ -134,3 +134,28 @@ def test_cosine_near_dups(spark):
         (i, i + 1000000) for i in range(0, 500, 5)
     }
     assert all(r["score"] >= 0.99 for r in pairs)
+
+
+def test_ann_ivf_recall(spark):
+    """IVF ANN: k-means cells + nprobe probing reaches the same recall
+    gate as the LSH variant, and probing ALL cells is exhaustive (the
+    candidate set then covers the corpus, so top-k == exact top-k)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ann_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=3, iters=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall}"
+    assert all(qid != nid for qid, nid in approx)
+    # nprobe == n_centroids degenerates to exact brute force
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ann_topk_ivf(emb, q, k=5, n_centroids=4, nprobe=4, iters=1).collect()
+    }
+    assert full == exact
