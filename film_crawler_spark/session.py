@@ -56,6 +56,19 @@ def engine_conf(shuffle_partitions: int | str = "32") -> dict[str, str]:
         "spark.sql.inMemoryColumnarStorage.batchSize": "1024",
         "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     })
+    # opt-in event logging for offline stage profiling
+    # (tools/stage_profile.py): SPARK_GRAFT_EVENTLOG=<dir> — this is how
+    # the round-1/2 perf bugs (cache convoys, UDF recompute, BLAS
+    # oversubscription) were pinpointed.
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        conf.update({
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file:{ev_dir}",
+            "spark.eventLog.compress": "true",
+            "spark.eventLog.compression.codec": "zstd",
+        })
     return conf
 
 
