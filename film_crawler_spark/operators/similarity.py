@@ -191,8 +191,9 @@ def kmeans_centroids(
     """Spherical k-means coarse quantizer, trained distributed: each
     Lloyd iteration is one fused assign+partial-sum pass — the UDF emits
     at most k rows (cell, count, vector-sum) PER ARROW BATCH (map-side
-    combine by construction, so the shuffle carries ~k·n_batches tiny
-    rows, never the corpus), then a groupBy(cell) merge; only the k×dim
+    combine by construction, so the merge shuffle carries ~k·dim·n_batches
+    scalar rows after posexplode, never the corpus), then a
+    groupBy(cell, pos) merge; only the k×dim
     centroid matrix reaches the driver per iteration. Init is
     deterministic: the ``n_centroids`` vectors with the smallest
     murmur3(id) (a stable pseudo-random sample, same hash on every
@@ -280,11 +281,15 @@ def ann_topk_ivf(
     qa = _nearest_cells(queries, cents, id_col, vec_col, nprobe=nprobe).select(
         F.col("id").alias("query_id"), "cell"
     )
+    # no distinct(): the corpus side carries exactly ONE cell per vector
+    # (nprobe=1) and a query's probed cells are distinct, so a pair can
+    # match the equi-join at most once — unlike the LSH path, where
+    # multi-table bucketing duplicates candidates. Skipping it saves a
+    # full exchange+aggregate over the largest intermediate.
     cand = (
         ca.join(F.broadcast(qa), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     return _exact_topk_on_candidates(cand, corpus, queries, k, id_col, vec_col)
 

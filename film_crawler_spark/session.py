@@ -62,6 +62,7 @@ def engine_conf(shuffle_partitions: int | str = "32") -> dict[str, str]:
     # oversubscription) were pinpointed.
     ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
     if ev_dir:
+        ev_dir = os.path.abspath(ev_dir)
         os.makedirs(ev_dir, exist_ok=True)
         conf.update({
             "spark.eventLog.enabled": "true",

@@ -24,12 +24,20 @@ import sys
 from collections import defaultdict
 
 
+_UNSUPPORTED_CODECS = (".lz4", ".snappy")
+
+
 def _open_log(path: str):
     if path.endswith(".zstd"):
         import pyarrow as pa
 
         raw = pa.CompressedInputStream(pa.OSFile(path, "rb"), "zstd").read()
         return io.StringIO(raw.decode("utf-8", errors="replace"))
+    if path.endswith(_UNSUPPORTED_CODECS):
+        raise SystemExit(
+            f"{path}: unsupported event-log codec (only zstd/uncompressed "
+            f"are handled; re-run with spark.eventLog.compression.codec=zstd)"
+        )
     return open(path, encoding="utf-8", errors="replace")
 
 
@@ -38,7 +46,7 @@ def profile_dir(ev_dir: str) -> list[dict]:
     sorted by total executor run time descending."""
     stages: dict[tuple, dict] = defaultdict(
         lambda: {
-            "tasks": 0, "run_ms": 0, "cpu_ms": 0, "gc_ms": 0,
+            "tasks": 0, "failed": 0, "run_ms": 0, "cpu_ms": 0, "gc_ms": 0,
             "input_mb": 0.0, "shuffle_read_mb": 0.0, "shuffle_write_mb": 0.0,
             "spill_mb": 0.0, "max_task_ms": 0, "name": "",
         }
@@ -65,14 +73,23 @@ def profile_dir(ev_dir: str) -> list[dict]:
                 kind = ev.get("Event")
                 if kind == "SparkListenerStageSubmitted":
                     si = ev["Stage Info"]
-                    key = (fname, si["Stage ID"])
+                    # key by attempt too: a resubmitted stage (fetch
+                    # failure) must not merge with its first attempt
+                    key = (fname, si["Stage ID"], si.get("Stage Attempt ID", 0))
                     stages[key]["name"] = si.get("Stage Name", "")
                 elif kind == "SparkListenerTaskEnd":
+                    key = (fname, ev["Stage ID"], ev.get("Stage Attempt ID", 0))
+                    s = stages[key]
+                    reason = ev.get("Task End Reason", {}).get("Reason")
+                    if reason != "Success":
+                        # failed/killed attempts surface as a count, not
+                        # as executor time — retries would otherwise
+                        # inflate the very ranking this tool exists for
+                        s["failed"] += 1
+                        continue
                     m = ev.get("Task Metrics")
                     if not m:
                         continue
-                    key = (fname, ev["Stage ID"])
-                    s = stages[key]
                     run = m.get("Executor Run Time", 0)
                     s["tasks"] += 1
                     s["run_ms"] += run
@@ -89,9 +106,9 @@ def profile_dir(ev_dir: str) -> list[dict]:
                     s["spill_mb"] += m.get("Disk Bytes Spilled", 0) / 1e6
                     s["max_task_ms"] = max(s["max_task_ms"], run)
     rows = [
-        {"app": k[0], "stage": k[1], **v}
+        {"app": k[0], "stage": k[1], "attempt": k[2], **v}
         for k, v in stages.items()
-        if v["tasks"] > 0
+        if v["tasks"] > 0 or v["failed"] > 0
     ]
     rows.sort(key=lambda r: r["run_ms"], reverse=True)
     return rows
@@ -104,14 +121,15 @@ def main() -> None:
     total = sum(r["run_ms"] for r in rows)
     print(f"{len(rows)} stages, total executor run time {total/1000:.1f}s\n")
     hdr = (
-        f"{'stage':>6} {'tasks':>6} {'run_s':>8} {'cpu_s':>8} {'gc_s':>6} "
+        f"{'stage':>8} {'tasks':>6} {'fail':>4} {'run_s':>8} {'cpu_s':>8} {'gc_s':>6} "
         f"{'in_MB':>8} {'shR_MB':>8} {'shW_MB':>8} {'spill':>6} {'maxT_s':>7}  name"
     )
     print(hdr)
     for r in rows[:top_n]:
         # skew smell: one task dominating the stage (max_task ~ run/1)
+        label = f"{r['stage']}" if r["attempt"] == 0 else f"{r['stage']}.r{r['attempt']}"
         print(
-            f"{r['stage']:>6} {r['tasks']:>6} {r['run_ms']/1000:>8.2f} "
+            f"{label:>8} {r['tasks']:>6} {r['failed']:>4} {r['run_ms']/1000:>8.2f} "
             f"{r['cpu_ms']/1000:>8.2f} {r['gc_ms']/1000:>6.2f} "
             f"{r['input_mb']:>8.1f} {r['shuffle_read_mb']:>8.1f} "
             f"{r['shuffle_write_mb']:>8.1f} {r['spill_mb']:>6.1f} "
