@@ -13,6 +13,13 @@ Usage:
 
 Reads every app log in the directory (plain or zstd-compressed, the
 engine's default). No Spark needed to analyze — pure JSON + pyarrow.
+
+Reading the numbers: `cpu_s` is JVM thread CPU only. A stage whose tasks
+are mapInPandas/pandas-UDF shows run_s >> cpu_s because the JVM task
+thread BLOCKS while the Python worker computes — that gap is Python work
+(or politeness sleeps when delay_s > 0), not executor idleness. Verified
+on a 2-core crawl leg: the fetch stage shows 275 s run / 5.6 s cpu —
+all of it blob decode in the workers.
 """
 
 from __future__ import annotations
