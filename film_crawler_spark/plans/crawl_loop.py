@@ -385,10 +385,19 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         # Python UDF (no stats), so Catalyst would otherwise pick a
         # sort-merge join and shuffle the fat binary side — measured as a
         # ~1 GB shuffle of blob bytes per media iteration. Never move the
-        # bytes: captions are bounded by the per-iteration page budget.
+        # bytes. The broadcast must stay bounded at any crawl age, so the
+        # caption log is first narrowed to the rm ids actually fetched
+        # THIS iteration (a budget-bounded set, read from the body-free
+        # fetch_log) via a broadcast semi-join — the caption log itself
+        # streams map-side, never shuffles, and the broadcast payload is
+        # per-iteration-sized instead of growing with the whole crawl.
+        rm_this_it = flog.filter(F.col("page_kind") == "image_blob").select("rm").distinct()
+        caps_needed = caps_all_u.select("rm", "caption").join(
+            F.broadcast(rm_this_it), "rm", "left_semi"
+        )
         images = (
             renditions_all.filter(F.col("rendition") == "ori")
-            .join(F.broadcast(caps_all_u.select("rm", "caption")), "rm", "left")
+            .join(F.broadcast(caps_needed), "rm", "left")
             .select(
                 F.col("rm").alias("image_id"), "bytes", "w", "h", "fmt",
                 F.col("caption"), "phash",
