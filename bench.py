@@ -180,20 +180,23 @@ def crawl_child(cores: int, seeds_n: int, warehouse: str) -> None:
 def run_crawl_bench() -> dict:
     out = {}
     lo, hi = CORES_PAIR
-    # Untimed warmup child: the first crawl-shaped workload after machine
-    # idle pays a one-time machine-wide page-fault storm on this
-    # snapshot-backed sandbox (measured 171 s vs 87 s steady for an
-    # identical 600-seed child; guest-physical pages materialize on first
-    # touch and stay materialized for later processes). Without this, the
-    # storm lands inside the FIRST timed leg and swings the scaling
-    # ratio by >0.1 run-to-run.
-    wh = tempfile.mkdtemp(prefix="bench_crawl_warm_", dir=BENCH_TMP)
-    try:
-        log("[bench] warmup crawl child (untimed)...")
-        _run_crawl_leg(hi, wh, seeds=200)
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
     for cores in (lo, hi):
+        # Untimed warmup child BEFORE EACH timed leg: crawl-shaped work
+        # after machine idle pays a machine-wide page-fault storm on this
+        # snapshot-backed sandbox (measured 171 s vs 87 s steady for an
+        # identical 600-seed child; guest-physical pages materialize on
+        # first touch). A single warmup at the start is NOT enough — the
+        # second leg starts ~30 min after it, and memory reclaimed during
+        # the long quiet first leg re-exposes the storm inside the timed
+        # window (measured: the 8-core leg swung 486 s warm vs 637 s cold
+        # = a 0.88 -> 0.64 efficiency artifact). Re-warming at each leg's
+        # own core count bounds the added wall at ~2 min per leg.
+        wh = tempfile.mkdtemp(prefix="bench_crawl_warm_", dir=BENCH_TMP)
+        try:
+            log(f"[bench] warmup crawl child at {cores} cores (untimed)...")
+            _run_crawl_leg(cores, wh, seeds=200)
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
         wh = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_", dir=BENCH_TMP)
         log(f"[bench] crawl at local[{cores}] ({CRAWL_SEEDS} seeds)...")
         try:

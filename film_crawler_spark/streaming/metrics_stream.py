@@ -126,7 +126,7 @@ def run_available_now(stream_df: DataFrame, name: str, checkpoint: str) -> None:
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if not stream_df.isStreaming else "complete")
+        .outputMode("complete")
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
