@@ -52,7 +52,10 @@ MAX_IMAGES = 120
 # machine scales the blob workload ~1.0x/core up to 8 processes but only
 # ~0.71 efficiency from 8->32 processes (DRAM bandwidth / turbo ceiling)
 # — so 8 vs 32 measures the box, not the engine. Both pairs reported.
-def _cores_pair() -> tuple[int, int]:
+def _cores_pair(validate: bool = True) -> tuple[int, int]:
+    """Parse SPARK_GRAFT_BENCH_CORES. Validated lazily (not at import):
+    a queries-only run (SPARK_GRAFT_BENCH_SKIP_CRAWL=1) must work on a
+    machine too small for the default crawl-bench taskset pin."""
     raw = os.environ.get("SPARK_GRAFT_BENCH_CORES", "2,8")
     parts = raw.split(",")
     if len(parts) != 2:
@@ -61,7 +64,7 @@ def _cores_pair() -> tuple[int, int]:
         )
     lo, hi = (int(x) for x in parts)
     ncpu = os.cpu_count() or 1
-    if not (0 < lo < hi) or hi + 2 > ncpu:
+    if validate and (not (0 < lo < hi) or hi + 2 > ncpu):
         raise SystemExit(
             f"SPARK_GRAFT_BENCH_CORES={raw!r} invalid: need 0 < lo < hi and "
             f"hi+2 <= cpu_count ({ncpu}) for the taskset pin"
@@ -69,20 +72,26 @@ def _cores_pair() -> tuple[int, int]:
     return lo, hi
 
 
-CORES_PAIR = _cores_pair()
+# All Spark scratch (shuffle/blockmgr spill) for the bench session AND
+# its crawl children lives here, so pruning can never touch another
+# Spark process's live /tmp/spark-* dirs (e.g. a concurrently running
+# pytest session on the same box).
+BENCH_SCRATCH = os.path.join(tempfile.gettempdir(), "bench_spark_scratch")
 
 
 def prune_bench_tmp() -> None:
-    """Remove leftover bench warehouses + dead Spark scratch dirs.
+    """Remove leftover bench warehouses + the bench-owned scratch dir.
 
     Round 1's driver bench died with ENOSPC because each crawl child's
     temp warehouse (~6 GB) was never removed. Belt-and-braces: sweep
     before and after every bench run, including orphans from crashed
-    prior runs.
+    prior runs. Only bench-owned paths are swept — generic /tmp/spark-*
+    globs would delete the live scratch of unrelated Spark sessions.
     """
     for pat in (
-        "/tmp/bench_crawl_*", "/tmp/spark-*", "/tmp/blockmgr-*",
+        "/tmp/bench_crawl_*",
         "/dev/shm/bench_crawl_*",
+        os.path.join(BENCH_SCRATCH, "*"),
     ):
         for d in glob.glob(pat):
             shutil.rmtree(d, ignore_errors=True)
@@ -96,11 +105,17 @@ def run_query_suite(sf_dir: str, cpus: int) -> dict:
     from film_crawler_spark.queries import REGISTRY
     from film_crawler_spark.session import get_spark
 
+    os.makedirs(BENCH_SCRATCH, exist_ok=True)
     spark = get_spark(
         app_name="fcs-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # scratch under the bench-owned dir so prune_bench_tmp can
+            # sweep it without risking other sessions' /tmp/spark-* dirs
+            "spark.local.dir": BENCH_SCRATCH,
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
@@ -121,6 +136,11 @@ def run_query_suite(sf_dir: str, cpus: int) -> dict:
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
         log(f"[bench] {name}: {timings[name]}s")
+        # the dedup/similarity operators persist() intermediates (shared
+        # by several plan branches within one action) that outlive the
+        # query; left in place across a 30+-query suite they accumulate
+        # into storage-memory pressure that slows later queries
+        spark.catalog.clearCache()
     spark.stop()
     return timings
 
@@ -135,11 +155,15 @@ def crawl_child(cores: int, seeds_n: int, warehouse: str) -> None:
     from film_crawler_spark.sources.synthetic_site import SiteConfig, make_seed_ids
     from film_crawler_spark.sources.tableio import TableIO
 
+    os.makedirs(BENCH_SCRATCH, exist_ok=True)
     spark = get_spark(
         app_name=f"fcs-crawl-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=cores,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.local.dir": BENCH_SCRATCH,
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     cfg = CrawlConfig(
@@ -156,8 +180,10 @@ def crawl_child(cores: int, seeds_n: int, warehouse: str) -> None:
     run_crawl(spark, seeds, cfg)
     wall = time.time() - t0
     io = TableIO(spark, warehouse)
+    from film_crawler_spark.sources.synthetic_site import MEDIA_KINDS
+
     flog = io.read_log("fetch_log")
-    pages = flog.filter(~F.col("page_kind").isin("image_blob", "video_blob")).count()
+    pages = flog.filter(~F.col("page_kind").isin(*MEDIA_KINDS)).count()
     blobs = flog.filter(F.col("page_kind") == "image_blob").count()
     images = io.read_log("images").count()
     spark.stop()
@@ -179,7 +205,7 @@ def crawl_child(cores: int, seeds_n: int, warehouse: str) -> None:
 
 def run_crawl_bench() -> dict:
     out = {}
-    lo, hi = CORES_PAIR
+    lo, hi = _cores_pair()
     for cores in (lo, hi):
         # Untimed warmup child BEFORE EACH timed leg: crawl-shaped work
         # after machine idle pays a machine-wide page-fault storm on this
@@ -243,7 +269,14 @@ def _run_crawl_leg(cores: int, wh: str, seeds: int | None = None) -> dict:
 
 def write_bench_md(queries: dict, crawl: dict, sf_dir: str, total: float) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    lo, hi = CORES_PAIR
+    # prefer the pair recorded with the crawl results (they may be from a
+    # cached run under a different env); unvalidated parse as fallback so
+    # a queries-only run on a small machine can still write the markdown
+    cores = crawl.get("cores") or {}
+    if cores.get("n") and cores.get("xn"):
+        lo, hi = cores["n"], cores["xn"]
+    else:
+        lo, hi = _cores_pair(validate=False)
     factor = hi // lo if hi % lo == 0 else round(hi / lo, 2)
     n, n4 = crawl.get(f"local[{lo}]", {}), crawl.get(f"local[{hi}]", {})
     lines = [

@@ -14,8 +14,10 @@ training-data pipeline runs at 100 TB, expressed Spark-first.
                          only shuffle over full data is groupBy band
                          key; pair verification touches candidates, not
                          the n^2 space.
-* simhash64            — 64-bit SimHash column (vectorized), pairs by
-                         Hamming distance within LSH-ish prefix blocks.
+* simhash64            — 60-bit SimHash column (SIMHASH_BITS; md5-based
+                         word hashes so the DuckDB oracle can recompute
+                         it), pairs by Hamming distance within LSH-ish
+                         prefix blocks.
 """
 
 from __future__ import annotations
@@ -133,7 +135,9 @@ def ngram_jaccard_pairs(
     """
     # persist: the shingle table feeds three plan branches (the exploded
     # prefix pipeline and both sides of candidate verification); without
-    # it the scan+shingle computation runs once per branch.
+    # it the scan+shingle computation runs once per branch. The cache
+    # outlives the returned DataFrame's action — sessions composing many
+    # such ops reclaim with spark.catalog.clearCache() (bench does).
     sh = with_shingles(_spread(docs), text_col, n, "_sh").select(
         F.col(id_col), F.col(block_col).alias("_blk"), "_sh"
     ).persist()
@@ -335,7 +339,8 @@ def minhash_lsh_dups(
     # plan twice, and exchange reuse is not guaranteed across a Python
     # UDF boundary — without the persist the signature UDF runs twice.
     # At corpus scale this is also the canonical plan: signatures are
-    # always materialized before LSH banding. ~n_docs x 1 KB of cache.
+    # always materialized before LSH banding. ~n_docs x 1 KB of cache,
+    # reclaimable after the action via spark.catalog.clearCache().
     sig = minhash_signatures(docs, n_perm, shingle_n, id_col, text_col).persist()
     banded = sig.select(
         "id",

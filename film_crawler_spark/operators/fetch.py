@@ -135,6 +135,32 @@ def fetch_batch(
     return html.unionByName(media)
 
 
+def fetch_drain(frontier: DataFrame, cfg: SiteConfig, pol: PolitenessConfig) -> DataFrame:
+    """fetch_batch in passes until no budget-denied rows remain; returns
+    every ATTEMPTED row (the union across passes, budget_denied rows
+    excluded by construction).
+
+    For one-shot jobs (liveness probe, seed generators) that have no
+    crawl-iteration loop to re-enqueue denied rows: a single fetch_batch
+    over an input longer than the per-host budget silently drops the
+    excess. Each pass progresses >= budget_html rows per pending host,
+    so the loop terminates; localCheckpoint truncates lineage so pass
+    i+1 never re-runs pass i's fetches. The crawl loop does NOT use
+    this — its iterations ARE the drain (T7 re-enqueue)."""
+    cols = frontier.columns
+    pending, parts = frontier, []
+    for _ in range(max(1, pending.count())):
+        fetched = fetch_batch(pending, cfg, pol).localCheckpoint(eager=True)
+        parts.append(fetched.filter(~F.col("budget_denied")))
+        pending = fetched.filter(F.col("budget_denied")).select(*cols)
+        if pending.isEmpty():
+            break
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def split_outcomes(fetched: DataFrame, pol: PolitenessConfig) -> dict[str, DataFrame]:
     """Route fetch results: ok pages to parse, exhausted retries to
     dead_letter, budget-denied rows back to the frontier, everything

@@ -47,10 +47,19 @@ from ..functions import images as IMG
 
 
 def _mean_pool(plane: np.ndarray, oh: int, ow: int) -> np.ndarray:
-    """Area-average resample of a 2-D float plane to (oh, ow) via
-    bincount on index grids — exact partition of input pixels, any
-    input size, no fresh large temporaries (sandbox page-fault rule)."""
+    """Resample a 2-D float plane to (oh, ow): area-average when
+    shrinking an axis, nearest-neighbor replication when growing one
+    (exact for integer factors). Implemented as bincount on index grids
+    — an exact partition of input pixels — after pre-expanding any
+    growing axis so every output cell receives >= 1 input pixel (the
+    pooling-only version left upscaled cells empty -> black stripes)."""
     h, w = plane.shape
+    if oh > h:
+        plane = plane[np.arange(oh) * h // oh, :]
+        h = oh
+    if ow > w:
+        plane = plane[:, np.arange(ow) * w // ow]
+        w = ow
     yi = (np.arange(h) * oh // h)[:, None]
     xi = (np.arange(w) * ow // w)[None, :]
     idx = (yi * ow + xi).ravel()

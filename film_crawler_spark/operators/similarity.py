@@ -72,7 +72,9 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """(id, table int, bucket int): sign pattern against n random
     hyperplanes, one independent plane set per hash table — one NumPy
-    matmul per Arrow batch covers all tables."""
+    matmul per Arrow batch covers all tables. The id column keeps the
+    input's type (long embeddings-table ids and string image_ids both
+    work — image_embed output plugs in directly)."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_tables * n_planes))
     weights = 1 << np.arange(n_planes)
@@ -95,7 +97,8 @@ def hyperplane_buckets(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(_b, "id long, table int, bucket int")
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(_b, f"id {id_t}, table int, bucket int")
 
 
 def _exact_topk_on_candidates(
@@ -178,7 +181,8 @@ def _nearest_cells(df, centroids: np.ndarray, id_col: str, vec_col: str, nprobe:
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(_a, "id long, cell int")
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(_a, f"id {id_t}, cell int")
 
 
 def kmeans_centroids(
@@ -322,6 +326,7 @@ def cosine_near_dups(
     # persist: the bucket table is both sides of the candidate self-join,
     # and a self-join across a Python-UDF boundary re-runs the UDF
     # (no exchange reuse) — without this the signature matmul runs twice.
+    # Cache outlives the action; reclaim via spark.catalog.clearCache().
     b = hyperplane_buckets(
         df, n_planes, dim, n_tables=n_tables, id_col=id_col, vec_col=vec_col
     ).persist()

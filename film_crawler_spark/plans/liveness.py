@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from film_crawler_spark.operators.fetch import fetch_batch
+from film_crawler_spark.operators.fetch import fetch_drain
 from film_crawler_spark.operators.frontier import FRONTIER_SCHEMA, seed_seq
 from film_crawler_spark.operators.politeness import PolitenessConfig
 from film_crawler_spark.sources.synthetic_site import SiteConfig, SyntheticSite
@@ -90,10 +90,14 @@ def probe_404(
         )
     )
     assert [f.name for f in FRONTIER_SCHEMA.fields] == frontier.columns
-    fetched = fetch_batch(frontier, cfg, pol)
     dead_id = F.coalesce("tt", "nm").alias("id")
+    # fetch_drain, not one fetch_batch: politeness budgets cap fetches
+    # per host per pass, and a single pass over an id list longer than
+    # budget_html would silently skip (= report alive) everything past
+    # the cap. The drain loops until every id was actually probed.
+    fetched = fetch_drain(frontier, cfg, pol)
     return (
-        fetched.filter((~F.col("budget_denied")) & (F.col("status") == 404))
+        fetched.filter(F.col("status") == 404)
         .select(dead_id, "canon_url", "status")
         .orderBy("id")
     )

@@ -10,7 +10,8 @@ ev ids -> AllEvents.csv, utils.py:64-95).
 The engine restates each as ONE small Spark job over the ordinary fetch
 operator (politeness + retry apply to seed production too):
 
-    url list -> fetch_batch -> JVM regexp_extract_all over the body ->
+    url list -> fetch_drain (fetch_batch passes until politeness budgets
+    denied nothing) -> JVM regexp_extract_all over the body ->
     explode -> distinct -> sort -> seed DataFrame
 
 Everything after the fetch is whole-stage-codegen column work — the id
@@ -25,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from film_crawler_spark.operators.fetch import fetch_batch
+from film_crawler_spark.operators.fetch import fetch_drain
 from film_crawler_spark.operators.frontier import FRONTIER_SCHEMA, seed_seq
 from film_crawler_spark.operators.politeness import PolitenessConfig
 from film_crawler_spark.sources.synthetic_site import CHARTS, SiteConfig
@@ -73,7 +74,7 @@ def chart_seeds(spark: SparkSession, cfg: SiteConfig | None = None,
     cfg = cfg or SiteConfig()
     pol = pol or PolitenessConfig()
     urls = [(f"https://www.media-h0.com/chart/{c}", "chart") for c in CHARTS]
-    fetched = fetch_batch(_url_frontier(spark, urls, cfg), cfg, pol)
+    fetched = fetch_drain(_url_frontier(spark, urls, cfg), cfg, pol)
     return _extract_ids(fetched, "tt")
 
 
@@ -99,7 +100,7 @@ def near_year_seeds(spark: SparkSession, start_month: str, end_month: str,
         (f"https://www.media-h0.com/movies-coming-soon/{r['month']}", "coming_soon")
         for r in months
     ]
-    fetched = fetch_batch(_url_frontier(spark, urls, cfg), cfg, pol)
+    fetched = fetch_drain(_url_frontier(spark, urls, cfg), cfg, pol)
     return _extract_ids(fetched, "tt")
 
 
@@ -111,7 +112,7 @@ def all_event_seeds(spark: SparkSession, cfg: SiteConfig | None = None,
     cfg = cfg or SiteConfig()
     pol = pol or PolitenessConfig()
     urls = [("https://www.media-h0.com/event/all", "event_index")]
-    fetched = fetch_batch(_url_frontier(spark, urls, cfg), cfg, pol)
+    fetched = fetch_drain(_url_frontier(spark, urls, cfg), cfg, pol)
     return _extract_ids(fetched, "ev")
 
 

@@ -88,3 +88,45 @@ def test_sample_frames_deterministic_fanout(spark):
 def test_real_mp4_raises_not_implemented():
     with pytest.raises(NotImplementedError):
         next(M.decode_video_frames(b"\x00\x00\x00\x20ftypisom" + b"x" * 64))
+
+
+def test_mean_pool_upscale_and_mixed():
+    """Growing an axis replicates source cells (nearest, exact for
+    integer factors) — the pooling-only version left upscaled cells
+    empty and emitted black stripes."""
+    p = np.arange(12, dtype=float).reshape(3, 4)
+    up = M._mean_pool(p, 6, 8)
+    assert np.array_equal(up, np.repeat(np.repeat(p, 2, 0), 2, 1))
+    mixed = M._mean_pool(p, 6, 2)  # rows up, cols down
+    assert np.allclose(mixed, np.repeat(p, 2, 0).reshape(6, 2, 2).mean(2))
+
+
+def test_resize_upscale_no_black_stripes(spark):
+    out = {
+        r["image_id"]: r
+        for r in M.resize_images(_images_df(spark), 64, 64).collect()
+    }
+    rgb, _ = IMG.decode_image(IMG.png_encode(_rgb(1)))  # 24x40 source
+    expect = rgb[np.arange(64) * 24 // 64][:, np.arange(64) * 40 // 64]
+    got, fmt = IMG.decode_image(bytes(out["im1"]["bytes"]))
+    assert fmt == "png" and np.array_equal(got, expect)
+
+
+def test_embed_feeds_ann_lsh_string_ids(spark):
+    """image_embed output must plug into ann_topk_lsh directly — string
+    image_ids included (the bucket UDF derives its id dtype from the
+    input instead of hardcoding long)."""
+    import pyspark.sql.functions as F
+
+    emb = M.image_embed(_images_df(spark)).select(
+        F.col("image_id").alias("vec_id"), F.col("emb").alias("embedding")
+    )
+    rows = sorted(
+        SIM.ann_topk_lsh(
+            emb, emb.filter(F.col("vec_id") == "im1"), k=2, dim=63
+        ).collect(),
+        key=lambda r: -r["score"],
+    )
+    # im3 is an exact dup of im1: identical embedding -> identical buckets
+    # in every table, so it is always a candidate and always ranks first
+    assert rows and rows[0]["neighbor_id"] == "im3" and rows[0]["score"] > 0.999

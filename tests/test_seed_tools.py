@@ -91,3 +91,24 @@ def test_integrity_checker(spark, tmp_path):
     # a foreign/empty warehouse is fully flagged (the wrongcsv case)
     empty_report = IG.check_warehouse(spark, str(tmp_path / "nope"))
     assert set(IG.wrong_tables(empty_report)) == set(IG.EXPECTED_KEYS)
+
+
+def test_probe_404_drains_past_budget(spark):
+    """An id list longer than the per-host politeness budget must still
+    probe EVERY id (fetch_drain loops passes; a single pass would report
+    the skipped tail as alive)."""
+    tts = [f"tt{i:07d}" for i in range(1, 400)]
+    ids = spark.createDataFrame([(t,) for t in tts], "tt string")
+    pol = PolitenessConfig(budget_html=16, budget_img=16)
+    dead = {r["id"] for r in LV.probe_404(ids, "tt", CFG, pol).collect()}
+    want = {t for t in tts if SITE.status_of(SITE.title_url(t), 1) == 404}
+    assert dead == want and want
+
+
+def test_chart_seeds_tiny_budget_complete(spark):
+    """Seed generators drain budget-denied pages too: a budget smaller
+    than the chart-page count must not silently drop chart ids."""
+    pol = PolitenessConfig(budget_html=2, budget_img=2)
+    got = [r["id"] for r in SD.chart_seeds(spark, CFG, pol).collect()]
+    want = sorted({tt for c in CHARTS for tt in SITE.chart_ids(c)})
+    assert got == want
