@@ -304,9 +304,17 @@ def write_bench_md(queries: dict, crawl: dict, sf_dir: str, total: float) -> Non
         "blob work in OS processes) measures THIS MACHINE at ~1.0 efficiency per",
         "added core up to 8 processes but only ~0.71 from 8 to 32 processes",
         "(DRAM-bandwidth / turbo ceiling: 6.6 -> 9.3 core-ms/blob). Above 8 cores",
-        "the pair would measure the box, not the engine; the engine's own 8->32",
-        "numbers are reported in `machine_ceiling` of BENCH_r*.json when run with",
-        "SPARK_GRAFT_BENCH_CORES=8,32.",
+        "the pair would measure the box, not the engine. For transparency the",
+        "engine's own 8->32 was measured once (same 6000-seed crawl, taskset",
+        "0-31): 1083 -> 1538 pages/s = 0.36. Decomposition: fitting",
+        "wall = fixed + compute/cores to the 2- and 8-core legs gives a ~95 s",
+        "fixed floor (driver planning + ~48 politeness-bounded iterations x",
+        "per-iteration staging latency + the single-disk write path) — at 32",
+        "cores that floor alone is ~30% of wall, the box control caps the",
+        "compute part at 0.71, and the driver shares the 32-CPU pin instead of",
+        "getting its +2. On a real cluster the driver is a separate node and a",
+        "10^10-URL frontier fills each iteration with ~1000x more work per",
+        "politeness round, amortizing the fixed floor away.",
         "",
         "## Query suite (seconds, noop-sink forced)",
         "",
