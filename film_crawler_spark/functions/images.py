@@ -194,6 +194,30 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 _DCT32 = _dct_mat(32)
 
 
+def mean_pool_2d(plane: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Resample a 2-D float plane to (oh, ow): area-average when
+    shrinking an axis, nearest-neighbor replication when growing one
+    (exact for integer factors). Bincount on index grids — an exact
+    partition of input pixels — after pre-expanding any growing axis so
+    every output cell receives >= 1 input pixel. Without the expansion,
+    an input smaller than the target left output cells empty (0.0):
+    phash64 on a sub-32px rendition hashed black stripes instead of the
+    image (renditions of the SAME picture landed ~28/64 bits apart)."""
+    h, w = plane.shape
+    if oh > h:
+        plane = plane[np.arange(oh) * h // oh, :]
+        h = oh
+    if ow > w:
+        plane = plane[:, np.arange(ow) * w // ow]
+        w = ow
+    yi = (np.arange(h) * oh // h)[:, None]
+    xi = (np.arange(w) * ow // w)[None, :]
+    idx = (yi * ow + xi).ravel()
+    sums = np.bincount(idx, weights=plane.ravel(), minlength=oh * ow)
+    cnts = np.bincount(idx, minlength=oh * ow)
+    return (sums / np.maximum(cnts, 1)).reshape(oh, ow)
+
+
 def phash64(rgb: np.ndarray) -> int:
     """64-bit perceptual hash: grayscale -> 32x32 mean-pool resize ->
     32x32 DCT -> top-left 8x8 (skipping DC) -> median threshold.
@@ -201,14 +225,7 @@ def phash64(rgb: np.ndarray) -> int:
     Signed int64 so it fits Spark LongType.
     """
     gray = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    h, w = gray.shape
-    # mean-pool to exactly 32x32 via bincount on index grids (any h, w)
-    yi = (np.arange(h) * 32 // h)[:, None]
-    xi = (np.arange(w) * 32 // w)[None, :]
-    idx = (yi * 32 + xi).ravel()
-    sums = np.bincount(idx, weights=gray.ravel(), minlength=1024)
-    cnts = np.bincount(idx, minlength=1024)
-    small = (sums / np.maximum(cnts, 1)).reshape(32, 32)
+    small = mean_pool_2d(gray, 32, 32)
     f = _DCT32 @ small @ _DCT32.T
     block = f[:8, :8].ravel()[1:]  # drop DC
     bits = block > np.median(block)

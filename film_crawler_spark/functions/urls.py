@@ -19,7 +19,7 @@ Two faces of every function:
 from __future__ import annotations
 
 import re
-from urllib.parse import quote, unquote, urlsplit
+from urllib.parse import urlsplit
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -28,13 +28,49 @@ DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 _ID_RE = re.compile(r"/((?:tt|nm|ev|rm|co|ur)\d+)")
 
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_HEX2 = re.compile(r"[0-9A-Fa-f]{2}")
+# raw characters legal (kept as-is) per component, beyond unreserved
+_PATH_ALLOWED = frozenset("!$&'()*+,;=:@")
+_QUERY_ALLOWED = frozenset("!$'()*+,;=:@/?")  # no raw '&': tokens split on it
+
+
+def _pct_normalize(s: str, allowed: frozenset) -> str:
+    """RFC-3986 6.2.2 percent-encoding normalization of one component:
+    decode escapes of UNRESERVED bytes only (decoding a reserved byte
+    like %26 would change the URL's structure), uppercase the hex of
+    escapes that must stay, and encode raw chars outside
+    unreserved+allowed. Idempotent: the output alphabet is exactly
+    (unreserved | allowed | uppercase-escapes-of-everything-else)."""
+    ok = _UNRESERVED | allowed
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%" and i + 3 <= n and _HEX2.fullmatch(s[i + 1 : i + 3]):
+            ch = chr(int(s[i + 1 : i + 3], 16))
+            out.append(ch if ch in _UNRESERVED else "%" + s[i + 1 : i + 3].upper())
+            i += 3
+        else:
+            if c in ok:
+                out.append(c)
+            else:
+                out.append("".join(f"%{b:02X}" for b in c.encode("utf-8")))
+            i += 1
+    return "".join(out)
+
 
 def canonicalize_url(url: str) -> str:
     """RFC-3986 normalization, deterministic and idempotent.
 
     lowercase scheme+host; strip default port; strip fragment; remove
-    dot-segments; collapse empty path to '/'; sort query params bytewise;
-    re-quote each path segment and query token with a fixed safe set.
+    dot-segments; collapse empty path to '/'; normalize percent-encoding
+    per component (decode unreserved-byte escapes ONLY — reserved
+    escapes like %26 keep their structural meaning); THEN sort query
+    tokens bytewise (normalize-before-sort keeps the order a fixed
+    point under re-canonicalization).
     """
     u = urlsplit(url.strip())
     scheme = u.scheme.lower() or "http"
@@ -51,13 +87,15 @@ def canonicalize_url(url: str) -> str:
                 segs.pop()
         elif seg != ".":
             segs.append(seg)
-    path = "/".join(quote(unquote(s), safe="-._~!$&'()*+,;=:@") for s in segs)
+    path = "/".join(_pct_normalize(s, _PATH_ALLOWED) for s in segs)
     if not path.startswith("/"):
         path = "/" + path
     query = ""
     if u.query:
-        parts = sorted(p for p in u.query.split("&") if p)
-        query = "&".join(quote(unquote(p), safe="-._~!$&'()*+,;=:@/?=") for p in parts)
+        parts = sorted(
+            _pct_normalize(p, _QUERY_ALLOWED) for p in u.query.split("&") if p
+        )
+        query = "&".join(parts)
     return f"{scheme}://{netloc}{path}" + (f"?{query}" if query else "")
 
 

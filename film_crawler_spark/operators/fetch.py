@@ -136,23 +136,33 @@ def fetch_batch(
 
 
 def fetch_drain(frontier: DataFrame, cfg: SiteConfig, pol: PolitenessConfig) -> DataFrame:
-    """fetch_batch in passes until no budget-denied rows remain; returns
-    every ATTEMPTED row (the union across passes, budget_denied rows
-    excluded by construction).
+    """Budget-bounded fetch passes until the frontier drains; returns
+    every attempted row (the union across passes).
 
     For one-shot jobs (liveness probe, seed generators) that have no
-    crawl-iteration loop to re-enqueue denied rows: a single fetch_batch
-    over an input longer than the per-host budget silently drops the
-    excess. Each pass progresses >= budget_html rows per pending host,
-    so the loop terminates; localCheckpoint truncates lineage so pass
-    i+1 never re-runs pass i's fetches. The crawl loop does NOT use
-    this — its iterations ARE the drain (T7 re-enqueue)."""
+    crawl-iteration loop: each pass DEQUEUES at most (budget_html,
+    budget_img) rows per host — the same structural politeness
+    enforcement the crawl loop applies before fetching (the fetch-side
+    token bucket alone only covers the delay_s > 0 path) — fetches the
+    batch, and carries the remainder plus any bucket-denied rows into
+    the next pass. One pass over an unbounded input would both violate
+    the per-host budget and (when the bucket does deny) silently drop
+    the excess. Each pass progresses >= 1 row per pending host, so the
+    loop terminates; localCheckpoint truncates lineage so pass i+1
+    never re-runs pass i's fetches. The crawl loop does NOT use this —
+    its iterations ARE the drain (T7 re-enqueue)."""
+    from film_crawler_spark.operators.frontier import dequeue, remaining
+
     cols = frontier.columns
     pending, parts = frontier, []
     for _ in range(max(1, pending.count())):
-        fetched = fetch_batch(pending, cfg, pol).localCheckpoint(eager=True)
-        parts.append(fetched.filter(~F.col("budget_denied")))
-        pending = fetched.filter(F.col("budget_denied")).select(*cols)
+        batch = dequeue(pending, pol.budget_html, pol.budget_img, n_salts=1)
+        fetched = fetch_batch(batch, cfg, pol).localCheckpoint(eager=True)
+        attempted = fetched.filter(~F.col("budget_denied"))
+        parts.append(attempted)
+        leftover = remaining(pending, attempted)
+        denied = fetched.filter(F.col("budget_denied")).select(*cols)
+        pending = leftover.unionByName(denied).localCheckpoint(eager=True)
         if pending.isEmpty():
             break
     out = parts[0]

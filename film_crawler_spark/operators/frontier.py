@@ -15,8 +15,10 @@ depth), and ``seq`` is a fixed-width *path string* encoding the full
 discovery lineage — seeds get their rank in the sorted (or reversed)
 seed list as "%012d"; a URL discovered as the j-th link of its parent
 gets parent_seq + "-%06d" % j. Lexicographic order over these strings
-IS the traversal order, it is total (no ties), deterministic, and never
-overflows at 10^10 URLs (where a packed-integer scheme would).
+IS the traversal order, it is total (no ties) and deterministic at any
+FRONTIER size — depth only appends segments; the per-parent fan-out is
+bounded by the 6-digit segment width (10^6 children, enforced loudly in
+``child_seq``; real fan-outs are <= ~10^2 pages/links per parent).
 
 Dequeue is exact top-B-per-host computed in two phases so a hot host
 never serializes a single task (north_rule: salted-key skew handling):
@@ -120,6 +122,17 @@ def distributed_rank(
 
 
 def child_seq(parent_seq: str, ordinal: int) -> str:
+    """Fixed-width lineage step. 6 digits bounds a parent at 10^6
+    children — far above any real fan-out (pagination ceil(n/48) pages,
+    <= ~120 links per page). Lexicographic order breaks silently past
+    the width ('1000000' < '0999999' is False but 7-digit vs 6-digit
+    comparisons are prefix-dependent), so overflow fails loudly here
+    instead of corrupting the replay-order contract."""
+    if ordinal > 999_999:
+        raise ValueError(
+            f"child ordinal {ordinal} overflows the 6-digit seq width — "
+            "a single parent fanned out >10^6 children; widen the field"
+        )
     return f"{parent_seq}-{ordinal:06d}"
 
 

@@ -46,26 +46,9 @@ from ..functions import images as IMG
 # ---------------------------------------------------------------------------
 
 
-def _mean_pool(plane: np.ndarray, oh: int, ow: int) -> np.ndarray:
-    """Resample a 2-D float plane to (oh, ow): area-average when
-    shrinking an axis, nearest-neighbor replication when growing one
-    (exact for integer factors). Implemented as bincount on index grids
-    — an exact partition of input pixels — after pre-expanding any
-    growing axis so every output cell receives >= 1 input pixel (the
-    pooling-only version left upscaled cells empty -> black stripes)."""
-    h, w = plane.shape
-    if oh > h:
-        plane = plane[np.arange(oh) * h // oh, :]
-        h = oh
-    if ow > w:
-        plane = plane[:, np.arange(ow) * w // ow]
-        w = ow
-    yi = (np.arange(h) * oh // h)[:, None]
-    xi = (np.arange(w) * ow // w)[None, :]
-    idx = (yi * ow + xi).ravel()
-    sums = np.bincount(idx, weights=plane.ravel(), minlength=oh * ow)
-    cnts = np.bincount(idx, minlength=oh * ow)
-    return (sums / np.maximum(cnts, 1)).reshape(oh, ow)
+# area-average / nearest resampler — one implementation, shared with
+# phash64 (functions/images.mean_pool_2d has the full contract docstring)
+_mean_pool = IMG.mean_pool_2d
 
 
 def resize_rgb(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

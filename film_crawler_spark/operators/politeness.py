@@ -5,15 +5,19 @@ The reference sleeps 2 s before *every* HTML request on every thread
 (spiders.py:2981-2998 — no sleep). The engine generalizes both into a
 per-host token bucket that lives inside the fetch ``mapInPandas`` task:
 
-* the *count* budget (requests/host/iteration) is enforced structurally
-  by the frontier dequeue (top-B per host) and re-checked here so a
-  salted split can never overshoot its share;
+* the *count* budget (requests/host/iteration) is enforced
+  STRUCTURALLY, before any fetch runs: the frontier dequeue caps each
+  (host, kind) at its budget per iteration (salting happens inside the
+  dequeue's two-phase window, so the cap is exact under skew), and
+  one-shot jobs without an iteration loop get the same cap from
+  ``fetch_drain``'s per-pass dequeue. The bucket re-checks the count
+  only on the throttled path below — belt-and-braces, not the primary
+  enforcement;
 * the *rate* (min delay between requests to one host) is enforced by
-  the bucket — with the frontier repartitioned by host, all of one
-  host's requests in an iteration land in the same task, so the bucket
-  is a plain in-process structure, no cross-executor coordination.
-  (Under salting a host's budget is divided across salt tasks — each
-  bucket gets budget/n_salts — so the global budget still holds.)
+  the bucket — when delay_s > 0 the fetch stage routes ALL of one
+  host's page requests into a single task (sorted by priority, seq), so
+  the bucket is a plain in-process structure, no cross-executor
+  coordination and no budget splitting.
 
 The budget is deliberately independent of cluster parallelism: scaling
 from N to 4N executors must not multiply pressure on a host (BASELINE.md

@@ -67,7 +67,10 @@ def _test_bits(bits: np.ndarray, hashes: np.ndarray, m_bits: int, k: int) -> np.
 class BloomSeenSet:
     """Build/merge/probe over DataFrames of (shard int, url_hash long)."""
 
-    def __init__(self, n_shards: int = 64, m_bits: int = 1 << 20, k: int = 7):
+    def __init__(self, n_shards: int = 64, m_bits: int = 1 << 23, k: int = 7):
+        # 2^23 bits = 1 MiB per shard: ~10^6 URLs/shard at <1% FPR with
+        # k=7 (the module-docstring sizing). The old 2^20 default put the
+        # FPR near 1 at that load — a probe pass that filtered nothing.
         self.n_shards = n_shards
         self.m_bits = m_bits
         self.k = k
@@ -160,15 +163,33 @@ def filter_unseen(
       The delta is iteration-sized (politeness-budget-bounded), so this
       extra anti-join stays cheap at any frontier scale.
     Returns candidates provably not yet seen, original columns only.
+
+    Plan shape: ONE probe pass. The bloom split is expressed as
+    conditional anti-joins (equi-key AND maybe_seen / AND NOT maybe_seen)
+    on a single linear plan, not as a union of two filters over the
+    probed set — the union form re-executed the cogrouped Python probe
+    UDF once per branch (bitmap deserialize + k-bit test over every
+    candidate, twice). With bloom=None the probe is skipped entirely and
+    the exact anti-joins run unconditionally (probe's all-False stamp
+    means "no snapshot", NOT "definitely unseen" — treating it as the
+    latter silently skipped the seen_exact check for bloom-less callers).
     """
-    probed = bloom_set.probe(candidates, bloom)
-    definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    if delta_exact is not None:
-        definite_new = definite_new.join(
-            delta_exact.select("canon_url"), on="canon_url", how="left_anti"
+    if bloom is None:
+        out = candidates
+        if seen_exact is not None:
+            out = out.join(seen_exact.select("canon_url"), "canon_url", "left_anti")
+        if delta_exact is not None:
+            out = out.join(delta_exact.select("canon_url"), "canon_url", "left_anti")
+        return out
+    out = bloom_set.probe(candidates, bloom)
+    if seen_exact is not None:
+        s = seen_exact.select(F.col("canon_url").alias("_seen_url"))
+        out = out.join(
+            s, (out["canon_url"] == s["_seen_url"]) & out["maybe_seen"], "left_anti"
         )
-    if seen_exact is None:
-        return definite_new.unionByName(probed.filter(F.col("maybe_seen")).drop("maybe_seen"))
-    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    survivors = maybe.join(seen_exact.select("canon_url"), on="canon_url", how="left_anti")
-    return definite_new.unionByName(survivors)
+    if delta_exact is not None:
+        d = delta_exact.select(F.col("canon_url").alias("_delta_url"))
+        out = out.join(
+            d, (out["canon_url"] == d["_delta_url"]) & (~out["maybe_seen"]), "left_anti"
+        )
+    return out.drop("maybe_seen")

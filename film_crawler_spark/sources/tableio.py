@@ -40,6 +40,7 @@ class TableIO:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._manifest_cache: dict[int, dict] = {}
         os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
 
     # -- paths ---------------------------------------------------------------
@@ -116,8 +117,17 @@ class TableIO:
         return its[-1] if its else None
 
     def manifest(self, iteration: int) -> dict:
-        with open(self._commit_path(iteration)) as f:
-            return json.load(f)
+        """Committed manifests are immutable (written once via atomic
+        rename), so they are cached per TableIO instance: _committed_dirs
+        walks every prior manifest on every read, and uncached that made
+        per-iteration driver I/O grow linearly with crawl age (O(N^2)
+        open+json.load over a whole crawl)."""
+        cached = self._manifest_cache.get(iteration)
+        if cached is None:
+            with open(self._commit_path(iteration)) as f:
+                cached = json.load(f)
+            self._manifest_cache[iteration] = cached
+        return cached
 
     def _committed_dirs(self, table: str, upto: int | None = None) -> list[str]:
         """Committed directories for a log table, base-aware: when a
