@@ -79,15 +79,18 @@ def canonicalize_url(url: str) -> str:
     netloc = host
     if port is not None and str(port) != DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"
-    # dot-segment removal
+    # RFC 3986 order: percent-normalize each segment FIRST (so %2E%2E
+    # becomes '..' before this pass), THEN remove dot-segments — doing it
+    # the other way round produces literal '../' output that a second
+    # canonicalize would collapse, breaking idempotency.
     segs: list[str] = []
-    for seg in u.path.split("/"):
+    for seg in (_pct_normalize(s, _PATH_ALLOWED) for s in u.path.split("/")):
         if seg == "..":
             if segs:
                 segs.pop()
         elif seg != ".":
             segs.append(seg)
-    path = "/".join(_pct_normalize(s, _PATH_ALLOWED) for s in segs)
+    path = "/".join(segs)
     if not path.startswith("/"):
         path = "/" + path
     query = ""

@@ -153,18 +153,38 @@ def fetch_drain(frontier: DataFrame, cfg: SiteConfig, pol: PolitenessConfig) -> 
     its iterations ARE the drain (T7 re-enqueue)."""
     from film_crawler_spark.operators.frontier import dequeue, remaining
 
-    cols = frontier.columns
+    # Pass bound: each pass dequeues up to budget rows per (host, kind
+    # group), so ceil(max per-host-per-group pending / its budget) passes
+    # drain everything — one tiny aggregate instead of a full count, and
+    # exact rather than the old row-count over-bound. Bucket-denied rows
+    # are NOT attempted, so remaining(pending, attempted) keeps them for
+    # the next pass automatically — unioning them back (the old code)
+    # double-enqueued them.
+    grp = F.col("page_kind").isin(*MEDIA_KINDS).cast("int")
+    mp = (
+        frontier.groupBy("host", grp.alias("_g"))
+        .count()
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_g") == 1,
+                    F.ceil(F.col("count") / F.lit(max(1, pol.budget_img))),
+                ).otherwise(F.ceil(F.col("count") / F.lit(max(1, pol.budget_html))))
+            ).alias("mp")
+        )
+        .first()["mp"]
+    )
     pending, parts = frontier, []
-    for _ in range(max(1, pending.count())):
+    for _ in range(int(mp or 0)):
         batch = dequeue(pending, pol.budget_html, pol.budget_img, n_salts=1)
         fetched = fetch_batch(batch, cfg, pol).localCheckpoint(eager=True)
         attempted = fetched.filter(~F.col("budget_denied"))
         parts.append(attempted)
-        leftover = remaining(pending, attempted)
-        denied = fetched.filter(F.col("budget_denied")).select(*cols)
-        pending = leftover.unionByName(denied).localCheckpoint(eager=True)
+        pending = remaining(pending, attempted).localCheckpoint(eager=True)
         if pending.isEmpty():
             break
+    if not parts:
+        return fetch_batch(frontier.limit(0), cfg, pol)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

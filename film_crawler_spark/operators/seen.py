@@ -188,8 +188,10 @@ def filter_unseen(
             s, (out["canon_url"] == s["_seen_url"]) & out["maybe_seen"], "left_anti"
         )
     if delta_exact is not None:
-        d = delta_exact.select(F.col("canon_url").alias("_delta_url"))
-        out = out.join(
-            d, (out["canon_url"] == d["_delta_url"]) & (~out["maybe_seen"]), "left_anti"
-        )
+        # Unconditional: a delta URL that is also a bloom false positive
+        # (maybe_seen=True, absent from seen_exact) would survive a
+        # ~maybe_seen-conditioned join and be re-enqueued — the T7
+        # violation. The delta is iteration-sized, so the unconditional
+        # join costs nothing extra.
+        out = out.join(delta_exact.select("canon_url"), "canon_url", "left_anti")
     return out.drop("maybe_seen")

@@ -88,6 +88,28 @@ def test_filter_unseen_respects_lagging_bloom_delta(spark):
     assert set(delta[:30]) & leaked  # documents why delta_exact exists
 
 
+def test_filter_unseen_delta_bloom_false_positive(spark):
+    """A delta URL that the bloom (wrongly or staleness-aside) reports
+    maybe_seen=True while seen_exact lacks it must STILL be filtered by
+    the delta anti-join — conditioning that join on ~maybe_seen let it
+    survive both joins (round-2 ADVICE, T7 violation). Forced
+    deterministically: the URL's hash is inserted into the bloom, but
+    only the delta (not seen_exact) contains it."""
+    committed = [f"https://h.com/a{i}" for i in range(100)]
+    fp_url = "https://h.com/fp-this-iter"
+    bs, seen = _hash_df(spark, committed + [fp_url])  # bloom sees fp_url
+    bloom = bs.merge(None, seen.select("shard", "url_hash"))
+    seen_exact = spark.createDataFrame([(u,) for u in committed], "canon_url string")
+    delta_df = spark.createDataFrame([(fp_url,)], "canon_url string")
+    _, cand = _hash_df(spark, committed[90:] + [fp_url, "https://h.com/new"])
+    got = {
+        r["canon_url"]
+        for r in filter_unseen(cand, seen_exact, bs, bloom, delta_exact=delta_df).collect()
+    }
+    assert fp_url not in got
+    assert got == {"https://h.com/new"}
+
+
 @pytest.mark.parametrize("scale_knobs", [True])
 def test_crawl_invariant_under_physical_choices(spark, tmp_path, scale_knobs):
     """Same crawl with Bloom probing active from iteration 1 and the

@@ -31,6 +31,19 @@ def test_canonicalize_basics():
     assert canonicalize_url("https://x.com") == "https://x.com/"
 
 
+def test_canonicalize_pct_encoded_dot_segments():
+    """%2E is unreserved, so %2E%2E decodes to '..' — it must be decoded
+    BEFORE dot-segment removal (RFC 3986 6.2.2 then 6.2.2.3), else the
+    output contains a literal '../' that a second canonicalize collapses
+    (round-2 ADVICE: two seen-set identities for one resource)."""
+    assert canonicalize_url("https://h/a/%2E%2E/b") == "https://h/b"
+    assert canonicalize_url("https://h/a/%2E/b") == "https://h/a/b"
+    assert canonicalize_url("https://h/%2E%2E/b") == "https://h/b"
+    for u in ["https://h/a/%2E%2E/b", "https://h/a/%2e/b%2E", "https://h/%2E"]:
+        c = canonicalize_url(u)
+        assert canonicalize_url(c) == c
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     st.builds(
