@@ -4,12 +4,14 @@
 ``queries()``   — one callable per implemented operator (SURVEY.md §2 +
                   the training-data extensions), from
                   film_crawler_spark.queries.REGISTRY.
-``oracle_sql()``— the DuckDB twins for every SQL-expressible entry
-                  (simhash included since round 2: md5-based word hash
-                  computes identically in Spark SQL and DuckDB);
-                  rows-only ops (minhash LSH, LSH-ANN) are deliberately
-                  absent here and verified by pytest
-                  (tests/test_dedup_similarity.py) instead.
+``oracle_sql()``— the DuckDB twins for EVERY entry (since round 3 —
+                  zero rows-only queries): simhash/minhash/LSH-ANN use
+                  md5-derived hashes/planes that Spark SQL, NumPy and
+                  DuckDB all compute identically, and the IVF entry runs
+                  at exhaustive probe where IVF == exact top-k by
+                  construction; probabilistic-recall configs are
+                  additionally gated in pytest
+                  (tests/test_dedup_similarity.py).
 """
 
 from __future__ import annotations

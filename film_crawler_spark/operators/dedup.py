@@ -272,6 +272,19 @@ def _perm_minhash(hv: np.ndarray, a_par: np.ndarray, b_par: np.ndarray,
     return sig
 
 
+def shingle_hash_col(shingles_col) -> "F.Column":
+    """28-bit shingle hash: first 7 hex chars of md5, as a long array.
+    md5 is the one hash Spark SQL, DuckDB SQL and hashlib all compute
+    identically, so the MinHash signatures built on it are (a)
+    deterministic across executors and (b) replayable by the DuckDB
+    oracle (the simhash precedent, round-2 verdict item 1). 28 bits
+    keeps a*h + b < 2^62 for the exact-uint64 Mersenne fold."""
+    return F.transform(
+        shingles_col,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_perm: int = 128,
@@ -279,9 +292,15 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, sig array<long>) — MinHash over word shingles, one vectorized
+    """(id, sig array<long>) — MinHash over word shingles.
+
+    Split of labor: shingling + md5 hashing run JVM-side (codegen'd
+    array expressions — the md5 stays out of Python entirely), and only
+    the n_perm-way permutation-min math crosses into one vectorized
     NumPy pass per Arrow batch (chunked through a reused workspace — see
-    _perm_minhash for why fresh temporaries are banned here)."""
+    _perm_minhash for why fresh temporaries are banned here). The
+    md5-derived 28-bit shingle hash makes the whole signature
+    DuckDB-replayable (see shingle_hash_col)."""
     a_par, b_par = _perm_params(n_perm)
 
     def _sig(it):
@@ -289,24 +308,9 @@ def minhash_signatures(
             if len(pdf) == 0:
                 yield pd.DataFrame({"id": pd.Series([], dtype="int64"), "sig": []})
                 continue
-            # gather every shingle in the batch, hash ONCE vectorized,
-            # then per-doc segment mins — no per-shingle Python hashing
-            all_sh: list[str] = []
-            counts = np.empty(len(pdf), dtype=np.int64)
-            for j, text in enumerate(pdf[text_col]):
-                words = " ".join(str(text).lower().split()).split(" ")
-                sh = {" ".join(words[i : i + shingle_n]) for i in range(max(1, len(words) - shingle_n + 1))}
-                counts[j] = len(sh)
-                all_sh.extend(sh)
-            # pd.util.hash_array: fixed-key siphash in C — deterministic
-            # across processes, executors and runs (independent of
-            # PYTHONHASHSEED, unlike Python's salted str hash() which at
-            # cluster scale silently breaks cross-executor band agreement
-            # if worker seeds diverge)
-            hv = (
-                pd.util.hash_array(np.asarray(all_sh, dtype=object))
-                & np.uint64(0x7FFFFFFF)
-            ).astype(np.uint64)
+            hvs = pdf["hvs"]
+            counts = np.fromiter((len(x) for x in hvs), dtype=np.int64, count=len(pdf))
+            hv = np.concatenate([np.asarray(x, dtype=np.uint64) for x in hvs])
             offsets = np.zeros(len(pdf), dtype=np.int64)
             np.cumsum(counts[:-1], out=offsets[1:])
             sig = _perm_minhash(hv, a_par, b_par, offsets)
@@ -317,9 +321,10 @@ def minhash_signatures(
                 }
             )
 
-    return _spread(docs.select(id_col, text_col)).mapInPandas(
-        _sig, "id long, sig array<long>"
+    hashed = with_shingles(_spread(docs.select(id_col, text_col)), text_col, shingle_n, "_sh").select(
+        id_col, shingle_hash_col(F.col("_sh")).alias("hvs")
     )
+    return hashed.mapInPandas(_sig, "id long, sig array<long>")
 
 
 def minhash_lsh_dups(
@@ -374,6 +379,64 @@ def minhash_lsh_dups(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def minhash_oracle_sql(
+    table: str = "documents",
+    n_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SQL replaying minhash_lsh_dups EXACTLY — same md5 shingle
+    hash (shingle_hash_col), same (a*h+b) mod 2^61-1 permutations (the
+    a/b constants are inlined as literals from the same seeded
+    generator), same banded candidate join, same exact-Jaccard verify.
+    All signature arithmetic stays in UBIGINT (< 2^62), so DuckDB and
+    the NumPy uint64 path compute identical values. The only divergence
+    window vs Spark is the band join key (Spark joins on murmur3 of the
+    band slice, the oracle on the exact slice): a murmur3 collision
+    between different slices could admit an extra Spark candidate, which
+    then matters only if that pair ALSO passes exact-Jaccard
+    verification — vanishing, and deterministic on fixed test data."""
+    rows = n_perm // bands
+    a_par, b_par = _perm_params(n_perm)
+    a_lit = ", ".join(str(int(x)) for x in a_par)
+    b_lit = ", ".join(str(int(x)) for x in b_par)
+    return f"""
+WITH w AS (
+  SELECT {id_col}, string_split(regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM {table}),
+sh AS (
+  SELECT {id_col},
+         list_distinct(list_transform(generate_series(1, greatest(len(ws) - {shingle_n - 1}, 1)),
+                                      i -> array_to_string(ws[i:i+{shingle_n - 1}], ' '))) AS sh
+  FROM w),
+h AS (
+  SELECT {id_col}, ('0x' || substr(md5(g), 1, 7))::UBIGINT AS hv
+  FROM (SELECT {id_col}, unnest(sh) AS g FROM sh)),
+perms AS (
+  SELECT i, a, b FROM (
+    SELECT unnest(generate_series(0, {n_perm - 1})) AS i,
+           unnest([{a_lit}]::UBIGINT[]) AS a,
+           unnest([{b_lit}]::UBIGINT[]) AS b)),
+sigs AS (
+  SELECT {id_col}, i, min((a * hv + b) % 2305843009213693951::UBIGINT) AS sig
+  FROM h CROSS JOIN perms GROUP BY {id_col}, i),
+bnd AS (
+  SELECT {id_col}, i // {rows} AS band, string_agg(sig::VARCHAR, ',' ORDER BY i) AS band_key
+  FROM sigs GROUP BY {id_col}, i // {rows}),
+cand AS (
+  SELECT DISTINCT x.{id_col} AS id_a, y.{id_col} AS id_b
+  FROM bnd x JOIN bnd y ON x.band = y.band AND x.band_key = y.band_key AND x.{id_col} < y.{id_col})
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM cand JOIN sh a ON a.{id_col} = cand.id_a JOIN sh b ON b.{id_col} = cand.id_b)
+WHERE jaccard >= {jaccard_threshold}
+"""
 
 
 SIMHASH_BITS = 60  # 15 md5 hex chars -> word hash < 2^60 fits a signed long

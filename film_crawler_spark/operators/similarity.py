@@ -101,6 +101,71 @@ def hyperplane_buckets(
     return df.select(id_col, vec_col).mapInPandas(_b, f"id {id_t}, table int, bucket int")
 
 
+# Quantization scale for the deterministic (oracle-replayable) plane
+# mode: vectors are floor(v * 2^20) int64 before the sign test, so the
+# bucket bit is a pure integer comparison — no float-summation-order
+# ambiguity between NumPy's matmul and an SQL SUM. 2^20 keeps 64-dim
+# dot products < 2^27, far inside int64.
+RADEMACHER_QUANT = 1 << 20
+
+
+def _rademacher_planes(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    """(dim, n_tables*n_planes) ±1 plane matrix derived from md5 — the
+    same 'one hash every engine computes identically' trick as simhash/
+    minhash: component (t, p, d) is +1 iff the first hex digit of
+    md5('pl{t}_{p}_{d}') is odd. Rademacher entries are a standard
+    random-projection choice (sign-LSH needs only symmetric zero-mean
+    components, not gaussians)."""
+    import hashlib
+
+    signs = np.empty((dim, n_tables * n_planes), dtype=np.int64)
+    for ti in range(n_tables):
+        for p in range(n_planes):
+            col = ti * n_planes + p
+            for d in range(dim):
+                hx = hashlib.md5(f"pl{ti}_{p}_{d}".encode()).hexdigest()
+                signs[d, col] = 1 if int(hx[0], 16) % 2 == 1 else -1
+    return signs
+
+
+def rademacher_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic twin of hyperplane_buckets: md5-derived ±1 planes
+    over floor-quantized int64 vectors, so a DuckDB oracle replays the
+    bucket assignment bit-exactly (every step is integer arithmetic —
+    see ann_lsh_oracle_sql). Same output shape (id, table, bucket)."""
+    signs = _rademacher_planes(dim, n_planes, n_tables)
+    weights = 1 << np.arange(n_planes)
+
+    def _b(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "table": [], "bucket": []})
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            w = np.floor(m * float(RADEMACHER_QUANT)).astype(np.int64)
+            bits = (w @ signs) > 0  # exact: int64 matmul
+            bits = bits.reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1).astype(np.int32),
+                }
+            )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(_b, f"id {id_t}, table int, bucket int")
+
+
 def _exact_topk_on_candidates(
     cand: DataFrame,
     corpus: DataFrame,
@@ -136,15 +201,24 @@ def ann_topk_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_mode: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH: a corpus vector
     is a candidate if it shares a bucket with the query in ANY of the
     ``n_tables`` independent tables (union drives recall up
     exponentially in table count; per-table planes keep candidate sets
     small). Only candidates get exact cosine scoring. The corpus-side
-    cost is one groupBy-(table, bucket) shuffle; queries broadcast."""
-    cb = hyperplane_buckets(corpus, n_planes, dim, n_tables=n_tables, id_col=id_col, vec_col=vec_col)
-    qb = hyperplane_buckets(queries, n_planes, dim, n_tables=n_tables, id_col=id_col, vec_col=vec_col)
+    cost is one groupBy-(table, bucket) shuffle; queries broadcast.
+
+    ``plane_mode``: 'gaussian' (seeded random hyperplanes) or
+    'md5_rademacher' (deterministic integer-exact planes replayable by
+    the DuckDB oracle — see rademacher_buckets)."""
+    if plane_mode == "md5_rademacher":
+        cb = rademacher_buckets(corpus, n_planes, dim, n_tables=n_tables, id_col=id_col, vec_col=vec_col)
+        qb = rademacher_buckets(queries, n_planes, dim, n_tables=n_tables, id_col=id_col, vec_col=vec_col)
+    else:
+        cb = hyperplane_buckets(corpus, n_planes, dim, n_tables=n_tables, id_col=id_col, vec_col=vec_col)
+        qb = hyperplane_buckets(queries, n_planes, dim, n_tables=n_tables, id_col=id_col, vec_col=vec_col)
     cand = (
         cb.select(F.col("id").alias("neighbor_id"), "table", "bucket")
         .join(
@@ -156,6 +230,57 @@ def ann_topk_lsh(
         .distinct()
     )
     return _exact_topk_on_candidates(cand, corpus, queries, k, id_col, vec_col)
+
+
+def ann_lsh_oracle_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB SQL replaying ann_topk_lsh(plane_mode='md5_rademacher')
+    EXACTLY: the md5-Rademacher planes, the floor(v*2^20) int64
+    quantization, the per-table bucket join, and the exact-cosine top-k
+    tail are all integer-or-rounded arithmetic that DuckDB computes
+    identically — no recall assumption anywhere (the oracle reproduces
+    the CANDIDATES, so even a recall miss matches)."""
+    return f"""
+WITH pl AS (
+  SELECT t, p, d,
+         CASE WHEN ('0x' || substr(md5('pl' || t || '_' || p || '_' || d), 1, 1))::UBIGINT % 2 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(generate_series(0, {n_tables - 1})) AS t),
+       (SELECT unnest(generate_series(0, {n_planes - 1})) AS p),
+       (SELECT unnest(generate_series(0, {dim - 1})) AS d)),
+vq AS (
+  SELECT vec_id, d, CAST(floor(CAST(e AS DOUBLE) * {RADEMACHER_QUANT}) AS BIGINT) AS wv
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               unnest(generate_series(0, len(embedding) - 1)) AS d
+        FROM {table})),
+dots AS (
+  SELECT vec_id, t, p, sum(wv * s) AS dot
+  FROM vq JOIN pl USING (d) GROUP BY vec_id, t, p),
+bk AS (
+  SELECT vec_id, t, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM bk qb JOIN bk cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+  WHERE qb.vec_id IN (SELECT vec_id FROM {table} WHERE {query_pred})
+    AND cb.vec_id <> qb.vec_id),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS score
+  FROM cand JOIN {table} q ON q.vec_id = cand.query_id
+            JOIN {table} c ON c.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+  FROM s) WHERE rn <= {k}
+"""
 
 
 def _nearest_cells(df, centroids: np.ndarray, id_col: str, vec_col: str, nprobe: int) -> DataFrame:

@@ -659,9 +659,15 @@ FROM events WHERE event_type = 'view'
 
 
 def q_minhash_lsh_dups(spark, sf):
-    """MinHash+LSH near-dup pairs; non-SQL (hash permutations in NumPy).
-    Verified in tests against exact blocked Jaccard."""
+    """MinHash+LSH near-dup pairs. Signatures are built on md5-derived
+    shingle hashes and seeded-literal permutations, so the DuckDB twin
+    replays the ENTIRE pipeline (signatures -> bands -> candidates ->
+    exact-Jaccard verify) value-exactly — the simhash precedent applied
+    to minhash (round-2 verdict item 1)."""
     return D.minhash_lsh_dups(t(spark, sf, "documents"), jaccard_threshold=0.4)
+
+
+SQL_MINHASH_LSH_DUPS = D.minhash_oracle_sql("documents", jaccard_threshold=0.4)
 
 
 def q_simhash(spark, sf):
@@ -674,23 +680,56 @@ SQL_SIMHASH = D.simhash_oracle_sql("documents")
 
 
 def q_ann_lsh_topk(spark, sf):
-    """LSH-bucketed approximate top-k; non-SQL. Recall vs exact measured
-    in tests."""
+    """LSH-bucketed approximate top-k in the deterministic plane mode:
+    md5-Rademacher hyperplanes over floor-quantized int64 vectors make
+    every bucket bit a pure integer comparison, so the DuckDB twin
+    replays candidate generation bit-exactly and the oracle needs NO
+    recall assumption (it reproduces the same candidates and the same
+    exact-cosine top-k tail). Gaussian-plane recall is measured in
+    pytest (test_ann_lsh_recall).
+
+    few planes => dense buckets at small corpus sizes; a 10^10 corpus
+    would raise n_planes so bucket occupancy stays ~constant."""
     emb = t(spark, sf, "embeddings")
-    # few planes => dense buckets at small corpus sizes; a 10^10 corpus
-    # would raise n_planes so bucket occupancy stays ~constant
-    return SIM.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=4, n_tables=12)
+    return SIM.ann_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=4, n_tables=12,
+        plane_mode="md5_rademacher",
+    )
+
+
+SQL_ANN_LSH_TOPK = SIM.ann_lsh_oracle_sql(
+    "embeddings", k=5, n_planes=4, n_tables=12, query_pred="vec_id < 5"
+)
 
 
 def q_ann_ivf_topk(spark, sf):
-    """IVF approximate top-k: k-means coarse quantizer (trained
-    distributed, deterministic murmur3-sampled init) + nprobe inverted
-    lists; non-SQL (float-sum accumulation order makes centroids
-    1e-12-stable, not bit-stable). Recall vs exact measured in tests."""
+    """IVF top-k at exhaustive probe (nprobe == n_centroids): every
+    inverted list is probed, so the result is PROVABLY the exact top-k
+    regardless of where k-means placed the centroids (each corpus vector
+    sits in exactly one cell and every cell is scanned) — which makes
+    the brute-force DuckDB twin an exact oracle while the query still
+    exercises the full IVF machinery end-to-end (distributed Lloyd
+    training, cell assignment, inverted-list equi-join, probe fan-out).
+    Sub-exhaustive nprobe recall is measured in pytest
+    (tests/test_dedup_similarity.py::test_ann_ivf_recall)."""
     emb = t(spark, sf, "embeddings")
     return SIM.ann_topk_ivf(
-        emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=8, nprobe=4, iters=2
+        emb, emb.filter(F.col("vec_id") < 7), k=7, n_centroids=8, nprobe=8, iters=2
     )
+
+
+SQL_ANN_IVF_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 7),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])), 6) AS score
+  FROM q, c WHERE query_id != neighbor_id)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+  FROM s) WHERE rn <= 7
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -728,8 +767,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "cosine_near_dups": (q_cosine_near_dups, SQL_COSINE_NEAR_DUPS),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
-    "minhash_lsh_dups": (q_minhash_lsh_dups, None),
+    "minhash_lsh_dups": (q_minhash_lsh_dups, SQL_MINHASH_LSH_DUPS),
     "simhash": (q_simhash, SQL_SIMHASH),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
-    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
 }
