@@ -223,17 +223,16 @@ def run_crawl_bench() -> dict:
             _run_crawl_leg(cores, wh, seeds=200)
         finally:
             shutil.rmtree(wh, ignore_errors=True)
-        # Best-of-2 for the SHORT (hi-core) leg only: its wall is small
-        # enough that one guest-memory reclaim (observed: buff/cache
-        # dropping to ~1 GB between legs re-exposes the snapshot-backed
-        # page-fault storm) dominates the reading — identical code
-        # measured 483/486/588/637 s across runs. The long lo-core leg
-        # amortizes storms over ~25 min and repeats within ~2%. The
-        # engine is deterministic and the politeness budget fixed, so
-        # run-to-run delta is machine state, not engine behavior — the
-        # best run is the engine measurement (same rationale as the
-        # query suite's best-of-2 above). Both readings are recorded.
-        n_runs = 2 if cores == hi else 1
+        # Best-of-2 on BOTH legs (symmetric protocol): one guest-memory
+        # reclaim (observed: buff/cache dropping to ~1 GB between legs
+        # re-exposes the snapshot-backed page-fault storm) can dominate
+        # either reading — identical code measured 483/486/588/637 s
+        # across runs on the short leg. The engine is deterministic and
+        # the politeness budget fixed, so run-to-run delta is machine
+        # state, not engine behavior — the best run is the engine
+        # measurement (same rationale as the query suite's best-of-2
+        # above). Both readings are recorded per leg in runs_wall_s.
+        n_runs = 2
         walls = []
         best = None
         for _ in range(n_runs):

@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from film_crawler_spark.operators.caching import scoped_persist
+
 MERSENNE = (1 << 61) - 1
 
 
@@ -136,11 +138,15 @@ def ngram_jaccard_pairs(
     # persist: the shingle table feeds three plan branches (the exploded
     # prefix pipeline and both sides of candidate verification); without
     # it the scan+shingle computation runs once per branch. The cache
-    # outlives the returned DataFrame's action — sessions composing many
-    # such ops reclaim with spark.catalog.clearCache() (bench does).
-    sh = with_shingles(_spread(docs), text_col, n, "_sh").select(
-        F.col(id_col), F.col(block_col).alias("_blk"), "_sh"
-    ).persist()
+    # must survive until the caller's terminal action, so the operator
+    # cannot unpersist it itself — run the action inside
+    # caching.cache_scope() for deterministic release (or fall back to
+    # spark.catalog.clearCache(), as bench does).
+    sh = scoped_persist(
+        with_shingles(_spread(docs), text_col, n, "_sh").select(
+            F.col(id_col), F.col(block_col).alias("_blk"), "_sh"
+        )
+    )
     if threshold > 0:
         # ssjoin-style prefix filter (exact): J(A,B) >= t implies
         # |A∩B| >= ceil(t*|A|), so by pigeonhole every qualifying pair
@@ -344,9 +350,10 @@ def minhash_lsh_dups(
     # plan twice, and exchange reuse is not guaranteed across a Python
     # UDF boundary — without the persist the signature UDF runs twice.
     # At corpus scale this is also the canonical plan: signatures are
-    # always materialized before LSH banding. ~n_docs x 1 KB of cache,
-    # reclaimable after the action via spark.catalog.clearCache().
-    sig = minhash_signatures(docs, n_perm, shingle_n, id_col, text_col).persist()
+    # always materialized before LSH banding. ~n_docs x 1 KB of cache;
+    # release deterministically via caching.cache_scope() (or
+    # spark.catalog.clearCache()).
+    sig = scoped_persist(minhash_signatures(docs, n_perm, shingle_n, id_col, text_col))
     banded = sig.select(
         "id",
         F.posexplode(

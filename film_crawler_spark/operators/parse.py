@@ -66,6 +66,7 @@ CAPTION_SCHEMA = T.StructType(
     [
         T.StructField("rm", T.StringType()),
         T.StructField("tt", T.StringType()),
+        T.StructField("nm", T.StringType()),
         T.StructField("caption", T.StringType()),
     ]
 )
@@ -85,6 +86,7 @@ RENDITION_SCHEMA = T.StructType(
     [
         T.StructField("rm", T.StringType()),
         T.StructField("tt", T.StringType()),
+        T.StructField("nm", T.StringType()),
         T.StructField("rendition", T.StringType()),
         T.StructField("bytes", T.BinaryType()),
         T.StructField("w", T.IntegerType()),
@@ -112,7 +114,7 @@ _RE_VIDEO_URL = re.compile(r'"videoUrl":"([^"]+)"')
 _RE_EVENT_LINK = re.compile(r'data-link="(https://[^"]+/event/(ev\d+)/)"')
 _RE_CO_LINK = re.compile(r'data-link="(https://[^"]+/search/title/\?companies=(co\d+))"')
 _RE_CO_COUNT = re.compile(r"of ([\d,]+) titles")
-_RE_GRID = re.compile(r'href="(/title/(tt\d+)/mediaviewer/(rm\d+))"')
+_RE_GRID = re.compile(r'href="(/(?:title|name)/((?:tt|nm)\d+)/mediaviewer/(rm\d+))"')
 _RE_CAPTION = re.compile(r'class="caption">(.*?)</div>')
 _RE_SIZED = re.compile(r'data-size="(small|large)" src="([^"]+)"')
 _RE_SIZE_SPEC = re.compile(r"\.(UX32_CR0|UX96_CR0)\.")
@@ -151,7 +153,7 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
                     pages = n_pages(n, PER_PAGE)
                     for p in range(1, pages + 1):
                         u = f"{base}/title/{r.tt}/mediaindex?page={p}"
-                        rows.append(row(u, r.host, 1, child_seq(r.seq, p - 1), 1,
+                        rows.append(row(u, r.host, r.priority + 1, child_seq(r.seq, p - 1), r.depth + 1,
                                         "mediaindex", tt=r.tt))
                     # F6 subpage fan-out (reference spiders.py:310-329):
                     # section URLs are CONSTRUCTED from the title URL, not
@@ -160,7 +162,7 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
                     # images-then-sections fetch order (spiders.py:370-442)
                     for s_i, sec in enumerate(SECTIONS):
                         u = r.url + sec  # title urls end with '/'
-                        rows.append(row(u, r.host, 1, child_seq(r.seq, pages + s_i), 1,
+                        rows.append(row(u, r.host, r.priority + 1, child_seq(r.seq, pages + s_i), r.depth + 1,
                                         "section", tt=r.tt))
                     # reviews / news / ratings: ONE crawl URL each per
                     # title; scroll/load-more cursor loops live in the
@@ -171,7 +173,7 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
                         [("reviews", "reviews"), ("news", "news"), ("ratings", "ratings")]
                     ):
                         u = r.url + suffix
-                        rows.append(row(u, r.host, 1, child_seq(r.seq, o + extra_i), 1,
+                        rows.append(row(u, r.host, r.priority + 1, child_seq(r.seq, o + extra_i), r.depth + 1,
                                         kind, tt=r.tt))
                     # F2 video pagination (reference getAllvideos,
                     # spiders.py:792-799: ceil(n/PER_PAGE_OF_VIDEO) pages)
@@ -179,20 +181,29 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
                     nv = int(vm.group(1).replace(",", "")) if vm else 0
                     for p in range(1, n_pages(nv, PER_PAGE_VIDEO) + 1):
                         u = f"{base}/title/{r.tt}/videogallery?page={p}"
-                        rows.append(row(u, r.host, 1, child_seq(r.seq, o + 3 + p - 1), 1,
+                        rows.append(row(u, r.host, r.priority + 1, child_seq(r.seq, o + 3 + p - 1), r.depth + 1,
                                         "videogallery", tt=r.tt))
                 elif r.kind == "mediaindex":
+                    # owner is a title OR a person (reference nm photo probe
+                    # spiders.py:2172-2189; nmImgTags_IMDB 5043-5092)
                     for j, m in enumerate(_RE_GRID.finditer(body)):
                         u = base + m.group(1)
-                        rows.append(row(u, r.host, 2, child_seq(r.seq, j), 2,
-                                        "photo_detail", tt=m.group(2), rm=m.group(3)))
+                        owner = m.group(2)
+                        rows.append(row(u, r.host, r.priority + 1, child_seq(r.seq, j),
+                                        r.depth + 1, "photo_detail",
+                                        tt=owner if owner.startswith("tt") else None,
+                                        rm=m.group(3),
+                                        nm=owner if owner.startswith("nm") else None))
                 elif r.kind == "videogallery":
                     # grid -> per-video player page (reference get_cur_video
-                    # builds /videoplayer/<vi>, spiders.py:824-827)
+                    # builds /videoplayer/<vi>, spiders.py:824-827); nm
+                    # galleries carry the person id through (spiders.py:
+                    # 2190-2207, main_downloadIMDB_video_nm main.py:86-88)
                     for j, m in enumerate(_RE_VIDEO_ITEM.finditer(body)):
                         u = f"{base}/videoplayer/{m.group(1)}"
-                        rows.append(row(u, r.host, 2, child_seq(r.seq, j), 2,
-                                        "video_player", tt=r.tt, vi=m.group(1)))
+                        rows.append(row(u, r.host, r.priority + 1, child_seq(r.seq, j),
+                                        r.depth + 1, "video_player", tt=r.tt, nm=r.nm,
+                                        vi=m.group(1)))
                 elif r.kind == "video_player":
                     # X12-style embedded-script mp4 extraction (reference
                     # '"videoUrl":"(\S+?)"' + '.mp4?' filter, spiders.py:845-852)
@@ -201,8 +212,9 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
                         None,
                     )
                     if mp4:
-                        rows.append(row(mp4, url_host(mp4), 3, child_seq(r.seq, 0), 3,
-                                        "video_blob", tt=r.tt, vi=r.vi))
+                        rows.append(row(mp4, url_host(mp4), r.priority + 1,
+                                        child_seq(r.seq, 0), r.depth + 1,
+                                        "video_blob", tt=r.tt, nm=r.nm, vi=r.vi))
                 elif r.kind == "section":
                     # cross-entity discovery (reference nmIMDB spider is
                     # seeded from cast links; here the fullcredits section
@@ -212,30 +224,55 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
                     # companies rows seed the co crawl (spiders.py:3441-3448)
                     for j, m in enumerate(_RE_PERSON_LINK.finditer(body)):
                         u, nm_id = m.group(1), m.group(2)
-                        rows.append(row(u, url_host(u), 2, child_seq(r.seq, j), 2,
+                        rows.append(row(u, url_host(u), r.priority + 1, child_seq(r.seq, j), r.depth + 1,
                                         "person", nm=nm_id))
                     for j, m in enumerate(_RE_EVENT_LINK.finditer(body)):
                         u, ev_id = m.group(1), m.group(2)
-                        rows.append(row(u, url_host(u), 2, child_seq(r.seq, j), 2,
+                        rows.append(row(u, url_host(u), r.priority + 1, child_seq(r.seq, j), r.depth + 1,
                                         "event", ev=ev_id))
                     for j, m in enumerate(_RE_CO_LINK.finditer(body)):
                         u, co_id = m.group(1), m.group(2)
-                        rows.append(row(u, url_host(u), 2, child_seq(r.seq, j), 2,
+                        rows.append(row(u, url_host(u), r.priority + 1, child_seq(r.seq, j), r.depth + 1,
                                         "company", co=co_id))
                 elif r.kind == "person":
+                    # fan-out order mirrors the reference nm spider's
+                    # execution order (spiders.py:2172-2225): photos,
+                    # videos, filmography, aux sections; person news last
+                    # (a separate job there, nmIMDB_news spiders.py:
+                    # 4765-4864 / main.py:66-69)
+                    pr, dp = r.priority + 1, r.depth + 1
+                    im = _RE_COUNT.search(body)
+                    ni = int(im.group(1).replace(",", "")) if im else 0
+                    mp = n_pages(ni, PER_PAGE)
+                    for p in range(1, mp + 1):
+                        u = f"{base}/name/{r.nm}/mediaindex?page={p}"
+                        rows.append(row(u, r.host, pr, child_seq(r.seq, p - 1), dp,
+                                        "mediaindex", nm=r.nm))
+                    vm = _RE_VCOUNT.search(body)
+                    nv = int(vm.group(1).replace(",", "")) if vm else 0
+                    vp = n_pages(nv, PER_PAGE_VIDEO)
+                    for p in range(1, vp + 1):
+                        u = f"{base}/name/{r.nm}/videogallery?page={p}"
+                        rows.append(row(u, r.host, pr, child_seq(r.seq, mp + p - 1), dp,
+                                        "videogallery", nm=r.nm))
                     m = _RE_CREDITS.search(body)
                     n = int(m.group(1).replace(",", "")) if m else 0
                     fp = n_pages(n, PER_PAGE_HIST)
+                    o = mp + vp
                     for p in range(1, fp + 1):
                         u = f"{base}/name/{r.nm}/filmosearch?page={p}"
-                        rows.append(row(u, r.host, 3, child_seq(r.seq, p - 1), 3,
+                        rows.append(row(u, r.host, pr, child_seq(r.seq, o + p - 1), dp,
                                         "filmo", nm=r.nm))
                     # person aux subpages (reference spiders.py:2211-2225);
                     # ordinals continue after the filmography pages
                     for s_i, sec in enumerate(PSECTIONS):
                         u = f"{base}/name/{r.nm}/{sec}"
-                        rows.append(row(u, r.host, 3, child_seq(r.seq, fp + s_i), 3,
+                        rows.append(row(u, r.host, pr, child_seq(r.seq, o + fp + s_i), dp,
                                         "psection", nm=r.nm))
+                    u = f"{base}/name/{r.nm}/news"
+                    rows.append(row(u, r.host, pr,
+                                    child_seq(r.seq, o + fp + len(PSECTIONS)), dp,
+                                    "news", nm=r.nm))
                 elif r.kind == "company":
                     # count page -> &start= pagination (reference
                     # get_co_info, spiders.py:3322-3330)
@@ -243,15 +280,16 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
                     n = int(m.group(1).replace(",", "")) if m else 0
                     for p in range(n_pages(n, PER_PAGE_CO)):
                         u = f"{r.url}&start={1 + p * PER_PAGE_CO}"
-                        rows.append(row(u, r.host, 3, child_seq(r.seq, p), 3,
+                        rows.append(row(u, r.host, r.priority + 1, child_seq(r.seq, p), r.depth + 1,
                                         "co_page", co=r.co))
                 elif r.kind == "photo_detail":
                     sized = dict(_RE_SIZED.findall(body))
                     small, large = sized.get("small"), sized.get("large")
                     if small and large:
                         for j, u in enumerate([small, large, ori_url(large)]):
-                            rows.append(row(u, url_host(u), 3, child_seq(r.seq, j), 3,
-                                            "image_blob", tt=r.tt, rm=r.rm))
+                            rows.append(row(u, url_host(u), r.priority + 1,
+                                            child_seq(r.seq, j), r.depth + 1,
+                                            "image_blob", tt=r.tt, rm=r.rm, nm=r.nm))
             yield pd.DataFrame(rows, columns=cols)
 
     return fetched_ok.mapInPandas(_run, DISCOVERED_SCHEMA)
@@ -291,7 +329,7 @@ def extract_captions(fetched_ok: DataFrame) -> DataFrame:
                     continue
                 m = _RE_CAPTION.search(r.body.decode("utf-8", "replace"))
                 if m:
-                    rows.append((r.rm, r.tt, m.group(1)))
+                    rows.append((r.rm, r.tt, r.nm, m.group(1)))
             yield pd.DataFrame(rows, columns=[f.name for f in CAPTION_SCHEMA.fields])
 
     return fetched_ok.filter(F.col("kind") == "photo_detail").mapInPandas(_run, CAPTION_SCHEMA)
@@ -486,6 +524,7 @@ VIDEO_SCHEMA = T.StructType(
     [
         T.StructField("vi", T.StringType()),
         T.StructField("tt", T.StringType()),
+        T.StructField("nm", T.StringType()),
         T.StructField("mp4_url", T.StringType()),
     ]
 )
@@ -493,6 +532,7 @@ VIDEO_SCHEMA = T.StructType(
 NEWS_SCHEMA = T.StructType(
     [
         T.StructField("tt", T.StringType()),
+        T.StructField("nm", T.StringType()),
         T.StructField("ord", T.IntegerType()),
         T.StructField("title", T.StringType()),
         T.StructField("url", T.StringType()),
@@ -642,7 +682,7 @@ def extract_videos(fetched_ok: DataFrame) -> DataFrame:
                     None,
                 )
                 if mp4:
-                    rows.append((r.vi, r.tt, mp4))
+                    rows.append((r.vi, r.tt, r.nm, mp4))
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
 
     return fetched_ok.filter(F.col("kind") == "video_player").mapInPandas(_run, VIDEO_SCHEMA)
@@ -653,7 +693,7 @@ def extract_video_files(fetched_ok: DataFrame) -> DataFrame:
     the payload is opaque (the reference streams mp4 chunks to a file
     without decoding, spiders.py:3876-3897)."""
     return fetched_ok.filter(F.col("kind") == "video_blob").select(
-        "vi", "tt", F.col("body").alias("bytes"), F.length("body").alias("n_bytes")
+        "vi", "tt", "nm", F.col("body").alias("bytes"), F.length("body").alias("n_bytes")
     )
 
 
@@ -676,7 +716,7 @@ def extract_news(fetched_ok: DataFrame) -> DataFrame:
                 for i, (url, title, date, author, source, img_url, img_alt, content) in enumerate(
                     reversed(arts)
                 ):
-                    rows.append((r.tt, i, title, url, date, author, source,
+                    rows.append((r.tt, r.nm, i, title, url, date, author, source,
                                  img_url, img_alt, content))
             yield pd.DataFrame(rows, columns=[f.name for f in NEWS_SCHEMA.fields])
 
@@ -880,7 +920,7 @@ def decode_blobs(fetched_ok: DataFrame) -> DataFrame:
     return (
         fetched_ok.filter((F.col("kind") == "image_blob") & F.col("fmt").isNotNull())
         .select(
-            "rm", "tt", "rendition",
+            "rm", "tt", "nm", "rendition",
             F.col("body").alias("bytes"),
             "w", "h", "fmt", "phash",
         )

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from film_crawler_spark.operators.caching import scoped_persist
+
 
 def _cosine(a, b):
     dot = F.aggregate(
@@ -451,10 +453,13 @@ def cosine_near_dups(
     # persist: the bucket table is both sides of the candidate self-join,
     # and a self-join across a Python-UDF boundary re-runs the UDF
     # (no exchange reuse) — without this the signature matmul runs twice.
-    # Cache outlives the action; reclaim via spark.catalog.clearCache().
-    b = hyperplane_buckets(
-        df, n_planes, dim, n_tables=n_tables, id_col=id_col, vec_col=vec_col
-    ).persist()
+    # Cache outlives the action; release via caching.cache_scope() (or
+    # spark.catalog.clearCache()).
+    b = scoped_persist(
+        hyperplane_buckets(
+            df, n_planes, dim, n_tables=n_tables, id_col=id_col, vec_col=vec_col
+        )
+    )
     cand = (
         b.select(F.col("id").alias("id_a"), "table", "bucket")
         .join(b.select(F.col("id").alias("id_b"), "table", "bucket"), ["table", "bucket"])

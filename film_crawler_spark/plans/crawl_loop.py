@@ -555,6 +555,7 @@ def renditions_view(io: TableIO) -> DataFrame:
     imgs = io.read_log("images").select(
         F.col("image_id").alias("rm"),
         F.lit(None).cast("string").alias("tt"),
+        F.lit(None).cast("string").alias("nm"),
         F.lit("ori").alias("rendition"),
         "bytes", "w", "h", "fmt", "phash", "iteration",
     )

@@ -30,7 +30,7 @@ EXPECTED_KEYS = {
     "frontier": ["canon_url", "host", "priority", "seq"],
     "seen": ["canon_url", "url_hash", "shard"],
     "titles": ["tt", "name", "rating", "metascore", "n_images"],
-    "captions": ["rm", "tt", "caption"],
+    "captions": ["rm", "tt", "nm", "caption"],
     "sections": ["tt", "section", "ord", "f1"],
     "reviews": ["tt", "ord", "review_id"],
     "persons": ["nm", "name", "jobs", "born"],
@@ -40,9 +40,9 @@ EXPECTED_KEYS = {
     "dead_letter": ["canon_url", "attempts", "last_error"],
     "metrics": ["iteration", "host", "kind", "status", "pages", "bytes"],
     "fetch_log": ["canon_url", "status", "page_kind", "iteration"],
-    "videos": ["vi", "tt", "mp4_url"],
-    "video_files": ["vi", "tt", "bytes", "n_bytes"],
-    "news": ["tt", "ord", "title", "url", "date", "author", "source", "content"],
+    "videos": ["vi", "tt", "nm", "mp4_url"],
+    "video_files": ["vi", "tt", "nm", "bytes", "n_bytes"],
+    "news": ["tt", "nm", "ord", "title", "url", "date", "author", "source", "content"],
     "ratings": ["tt", "tot_users", "rating_by_score", "rating_by_demographic"],
     "psections": ["nm", "section", "ord", "f1"],
     "events_base": ["ev", "name", "year", "layout"],

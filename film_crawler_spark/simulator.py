@@ -30,7 +30,7 @@ from film_crawler_spark.sources.synthetic_site import (
 
 # both title layouts (P6): class selector or data-testid fallback
 _RE_COUNT = re.compile(r'(?:class="image-count"|data-testid="photos-link")>([\d,]+) Photos')
-_RE_GRID = re.compile(r'href="(/title/(tt\d+)/mediaviewer/(rm\d+))"')
+_RE_GRID = re.compile(r'href="(/(?:title|name)/((?:tt|nm)\d+)/mediaviewer/(rm\d+))"')
 _RE_SIZED = re.compile(r'data-size="(small|large)" src="([^"]+)"')
 _RE_CAPTION = re.compile(r'class="caption">(.*?)</div>')
 
@@ -58,15 +58,15 @@ class SimTrace:
     per_iteration: list  # [{host: [canon urls]}]
     seen: set  # all attempted canon urls
     dead: list  # (canon, status)
-    images: dict  # rm -> {"captions": str, "renditions": {size: nbytes}}
+    images: dict  # rm -> {"caption": str, "owner": tt|nm, "renditions": {size: nbytes}}
     titles: dict  # tt -> n_images
     sections: dict = field(default_factory=dict)  # (tt, sec) -> [(f1, f2, f3)]
     reviews: dict = field(default_factory=dict)  # tt -> [review tuples]
     persons: dict = field(default_factory=dict)  # nm -> (name, jobs, born, n_credits)
     credits: dict = field(default_factory=dict)  # nm -> [(tt, title)] in (page, ord) order
-    videos: dict = field(default_factory=dict)  # vi -> (tt, mp4_url)
+    videos: dict = field(default_factory=dict)  # vi -> (tt, nm, mp4_url)
     video_files: dict = field(default_factory=dict)  # vi -> n_bytes
-    news: dict = field(default_factory=dict)  # tt -> [8-col rows] oldest-first
+    news: dict = field(default_factory=dict)  # (tt|nm) -> [8-col rows] oldest-first
     ratings: dict = field(default_factory=dict)  # tt -> ratings_fields dict
     psections: dict = field(default_factory=dict)  # (nm, sec) -> [(f1..f6)]
     events: dict = field(default_factory=dict)  # ev -> (name, sub, year, layout)
@@ -160,17 +160,18 @@ def simulate(
                     n = int(m.group(1).replace(",", "")) if m else 0
                     titles[r.tt] = n
                     pages = n_pages(n, PER_PAGE)
+                    pr, dp = r.priority + 1, r.depth + 1
                     for p in range(1, pages + 1):
                         u = f"{base}/title/{r.tt}/mediaindex?page={p}"
                         discovered.append(
-                            SimRow(1, child_seq(r.seq, p - 1), u, canonicalize_url(u),
-                                   r.host, 1, "mediaindex", r.tt)
+                            SimRow(pr, child_seq(r.seq, p - 1), u, canonicalize_url(u),
+                                   r.host, dp, "mediaindex", r.tt)
                         )
                     for s_i, sec in enumerate(SECTIONS):
                         u = r.url + sec
                         discovered.append(
-                            SimRow(1, child_seq(r.seq, pages + s_i), u, canonicalize_url(u),
-                                   r.host, 1, "section", r.tt)
+                            SimRow(pr, child_seq(r.seq, pages + s_i), u, canonicalize_url(u),
+                                   r.host, dp, "section", r.tt)
                         )
                     o = pages + len(SECTIONS)
                     for extra_i, (suffix, kind) in enumerate(
@@ -178,40 +179,42 @@ def simulate(
                     ):
                         u = r.url + suffix
                         discovered.append(
-                            SimRow(1, child_seq(r.seq, o + extra_i), u,
-                                   canonicalize_url(u), r.host, 1, kind, r.tt)
+                            SimRow(pr, child_seq(r.seq, o + extra_i), u,
+                                   canonicalize_url(u), r.host, dp, kind, r.tt)
                         )
                     nv = site.n_videos(r.tt)
                     for p in range(1, n_pages(nv, PER_PAGE_VIDEO) + 1):
                         u = f"{base}/title/{r.tt}/videogallery?page={p}"
                         discovered.append(
-                            SimRow(1, child_seq(r.seq, o + 3 + p - 1), u,
-                                   canonicalize_url(u), r.host, 1, "videogallery", r.tt)
+                            SimRow(pr, child_seq(r.seq, o + 3 + p - 1), u,
+                                   canonicalize_url(u), r.host, dp, "videogallery", r.tt)
                         )
                 elif res.kind == "reviews":
                     reviews[r.tt] = site.review_rows(r.tt)
                 elif res.kind == "news":
-                    news[r.tt] = site.news_rows(r.tt)  # oldest-first (O5)
+                    owner = r.tt or r.nm
+                    news[owner] = site.news_rows(owner)  # oldest-first (O5)
                 elif res.kind == "ratings":
                     ratings[r.tt] = site.ratings_fields(r.tt)
                 elif res.kind == "videogallery":
+                    owner = r.tt or r.nm
                     pm = re.search(r"data-page='(\d+)'", res.text)
                     page = int(pm.group(1)) if pm else 1
                     first = (page - 1) * PER_PAGE_VIDEO
-                    last = min(page * PER_PAGE_VIDEO, site.n_videos(r.tt))
+                    last = min(page * PER_PAGE_VIDEO, site.n_videos(owner))
                     for j, i in enumerate(range(first, last)):
-                        vi = site.vi_id(r.tt, i)
+                        vi = site.vi_id(owner, i)
                         u = f"{base}/videoplayer/{vi}"
                         discovered.append(
-                            SimRow(2, child_seq(r.seq, j), u, canonicalize_url(u),
-                                   r.host, 2, "video_player", r.tt, vi=vi)
+                            SimRow(r.priority + 1, child_seq(r.seq, j), u, canonicalize_url(u),
+                                   r.host, r.depth + 1, "video_player", r.tt, nm=r.nm, vi=vi)
                         )
                 elif res.kind == "video_player":
                     mp4 = site.mp4_url(r.vi)
-                    videos[r.vi] = (r.tt, mp4)
+                    videos[r.vi] = (r.tt, r.nm, mp4)
                     discovered.append(
-                        SimRow(3, child_seq(r.seq, 0), mp4, canonicalize_url(mp4),
-                               url_host(mp4), 3, "video_blob", r.tt, vi=r.vi)
+                        SimRow(r.priority + 1, child_seq(r.seq, 0), mp4, canonicalize_url(mp4),
+                               url_host(mp4), r.depth + 1, "video_blob", r.tt, nm=r.nm, vi=r.vi)
                     )
                 elif res.kind == "video_blob":
                     video_files[r.vi] = len(res.body)
@@ -225,42 +228,66 @@ def simulate(
                         for j, (nm_id, _n, _c) in enumerate(rows_gt):
                             u = site.person_url(nm_id)
                             discovered.append(
-                                SimRow(2, child_seq(r.seq, j), u, canonicalize_url(u),
-                                       url_host(u), 2, "person", None, None, nm_id)
+                                SimRow(r.priority + 1, child_seq(r.seq, j), u, canonicalize_url(u),
+                                       url_host(u), r.depth + 1, "person", None, None, nm_id)
                             )
                     elif sec == "awards":
                         for j, (_t, ev_id, _d) in enumerate(rows_gt):
                             u = site.event_url(ev_id)
                             discovered.append(
-                                SimRow(2, child_seq(r.seq, j), u, canonicalize_url(u),
-                                       url_host(u), 2, "event", ev=ev_id)
+                                SimRow(r.priority + 1, child_seq(r.seq, j), u, canonicalize_url(u),
+                                       url_host(u), r.depth + 1, "event", ev=ev_id)
                             )
                     elif sec == "companies":
                         for j, (_t, _n2, co_id) in enumerate(rows_gt):
                             u = site.company_url(co_id)
                             discovered.append(
-                                SimRow(2, child_seq(r.seq, j), u, canonicalize_url(u),
-                                       url_host(u), 2, "company", co=co_id)
+                                SimRow(r.priority + 1, child_seq(r.seq, j), u, canonicalize_url(u),
+                                       url_host(u), r.depth + 1, "company", co=co_id)
                             )
                 elif res.kind == "person":
                     persons[r.nm] = (
                         site.person_name(r.nm), site.person_jobs(r.nm),
                         site.person_born(r.nm), site.n_credits(r.nm),
                     )
+                    # reference nm execution order (spiders.py:2172-2225):
+                    # photos, videos, filmography, aux sections, news last
+                    # (nmIMDB_news, spiders.py:4765-4864)
+                    pr, dp = r.priority + 1, r.depth + 1
+                    mp = n_pages(site.n_images(r.nm), PER_PAGE)
+                    for p in range(1, mp + 1):
+                        u = f"{base}/name/{r.nm}/mediaindex?page={p}"
+                        discovered.append(
+                            SimRow(pr, child_seq(r.seq, p - 1), u, canonicalize_url(u),
+                                   r.host, dp, "mediaindex", None, None, r.nm)
+                        )
+                    vp = n_pages(site.n_videos(r.nm), PER_PAGE_VIDEO)
+                    for p in range(1, vp + 1):
+                        u = f"{base}/name/{r.nm}/videogallery?page={p}"
+                        discovered.append(
+                            SimRow(pr, child_seq(r.seq, mp + p - 1), u, canonicalize_url(u),
+                                   r.host, dp, "videogallery", None, None, r.nm)
+                        )
+                    o = mp + vp
                     n_cred = site.n_credits(r.nm)
                     fp = n_pages(n_cred, PER_PAGE_HIST)
                     for p in range(1, fp + 1):
                         u = f"{base}/name/{r.nm}/filmosearch?page={p}"
                         discovered.append(
-                            SimRow(3, child_seq(r.seq, p - 1), u, canonicalize_url(u),
-                                   r.host, 3, "filmo", None, None, r.nm)
+                            SimRow(pr, child_seq(r.seq, o + p - 1), u, canonicalize_url(u),
+                                   r.host, dp, "filmo", None, None, r.nm)
                         )
                     for s_i, sec in enumerate(PSECTIONS):
                         u = f"{base}/name/{r.nm}/{sec}"
                         discovered.append(
-                            SimRow(3, child_seq(r.seq, fp + s_i), u, canonicalize_url(u),
-                                   r.host, 3, "psection", None, None, r.nm)
+                            SimRow(pr, child_seq(r.seq, o + fp + s_i), u, canonicalize_url(u),
+                                   r.host, dp, "psection", None, None, r.nm)
                         )
+                    u = f"{base}/name/{r.nm}/news"
+                    discovered.append(
+                        SimRow(pr, child_seq(r.seq, o + fp + len(PSECTIONS)), u,
+                               canonicalize_url(u), r.host, dp, "news", None, None, r.nm)
+                    )
                 elif res.kind == "psection":
                     psections[(r.nm, res.meta["sec"])] = site.psection_rows(r.nm, res.meta["sec"])
                 elif res.kind == "event":
@@ -276,8 +303,8 @@ def simulate(
                     for p in range(n_pages(n_t, PER_PAGE_CO)):
                         u = f"{r.url}&start={1 + p * PER_PAGE_CO}"
                         discovered.append(
-                            SimRow(3, child_seq(r.seq, p), u, canonicalize_url(u),
-                                   r.host, 3, "co_page", co=r.co)
+                            SimRow(r.priority + 1, child_seq(r.seq, p), u, canonicalize_url(u),
+                                   r.host, r.depth + 1, "co_page", co=r.co)
                         )
                 elif res.kind == "co_page":
                     sm = re.search(r"data-start='(\d+)'", res.text)
@@ -300,22 +327,26 @@ def simulate(
                 elif res.kind == "mediaindex":
                     for j, m in enumerate(_RE_GRID.finditer(res.text)):
                         u = base + m.group(1)
+                        owner = m.group(2)
                         discovered.append(
-                            SimRow(2, child_seq(r.seq, j), u, canonicalize_url(u),
-                                   r.host, 2, "photo_detail", m.group(2), m.group(3))
+                            SimRow(r.priority + 1, child_seq(r.seq, j), u, canonicalize_url(u),
+                                   r.host, r.depth + 1, "photo_detail",
+                                   owner if owner.startswith("tt") else None,
+                                   m.group(3),
+                                   owner if owner.startswith("nm") else None)
                         )
                 elif res.kind == "photo_detail":
                     cap_m = _RE_CAPTION.search(res.text)
-                    images.setdefault(r.rm, {"renditions": {}})["caption"] = (
-                        cap_m.group(1) if cap_m else None
-                    )
+                    entry = images.setdefault(r.rm, {"renditions": {}})
+                    entry["caption"] = cap_m.group(1) if cap_m else None
+                    entry["owner"] = r.tt or r.nm
                     sized = dict(_RE_SIZED.findall(res.text))
                     small, large = sized.get("small"), sized.get("large")
                     if small and large:
                         for j, u in enumerate([small, large, ori_url(large)]):
                             discovered.append(
-                                SimRow(3, child_seq(r.seq, j), u, canonicalize_url(u),
-                                       url_host(u), 3, "image_blob", r.tt, r.rm)
+                                SimRow(r.priority + 1, child_seq(r.seq, j), u, canonicalize_url(u),
+                                       url_host(u), r.depth + 1, "image_blob", r.tt, r.rm, r.nm)
                             )
                 elif res.kind == "image_blob":
                     images.setdefault(r.rm, {"renditions": {}})["renditions"][

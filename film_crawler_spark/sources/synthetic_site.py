@@ -87,6 +87,18 @@ class SiteConfig:
     max_images_per_title: int = 120  # => up to 3 mediaindex pages
     max_videos_per_title: int = 75  # => up to 3 videogallery pages
     max_news_per_title: int = 12
+    # person media are smaller than title media on the real site; separate
+    # caps keep the synthetic world's person photo/video fan-out (the
+    # reference's nm mediaindex/videogallery probes, spiders.py:2172-2207)
+    # from doubling the crawl size
+    max_images_per_person: int = 40  # usually 1 nm mediaindex page
+    max_videos_per_person: int = 15
+    # site growth for supplement runs (reference supplement_reviews/news,
+    # spiders.py:4284-4764): N extra review/news children appear on every
+    # page, appended AFTER the original rows — row content derives from
+    # (id, index) only, so the original prefix is byte-identical and a
+    # supplement crawl must append exactly these rows
+    supplement_extra: int = 0
     max_co_titles: int = 120  # => up to 3 company search pages
     p_404: float = 0.02  # permanent 404s
     p_500: float = 0.02  # flaky: 500 until heal_attempt
@@ -150,24 +162,39 @@ class SyntheticSite:
         h = _h(f"{self.cfg.seed}:name:{tt}")
         return f"{ADJ[h % 10]} {NOUN[(h >> 4) % 10]} {1900 + (h >> 8) % 126}"
 
-    def n_images(self, tt: str) -> int:
-        return _h(f"{self.cfg.seed}:nimg:{tt}") % (self.cfg.max_images_per_title + 1)
+    def n_images(self, owner: str) -> int:
+        """Photo count for a title OR a person (the reference's nm spider
+        probes nm/mediaindex for a count too, spiders.py:2172-2189)."""
+        cap = (
+            self.cfg.max_images_per_person
+            if owner.startswith("nm")
+            else self.cfg.max_images_per_title
+        )
+        return _h(f"{self.cfg.seed}:nimg:{owner}") % (cap + 1)
 
-    def rm_id(self, tt: str, idx: int) -> str:
-        return f"rm{_h(f'{self.cfg.seed}:rm:{tt}:{idx}') % 10**9:09d}{idx % 10}"
+    def rm_id(self, owner: str, idx: int) -> str:
+        return f"rm{_h(f'{self.cfg.seed}:rm:{owner}:{idx}') % 10**9:09d}{idx % 10}"
 
-    def caption(self, tt: str, rm: str) -> str:
+    def owner_name(self, owner: str) -> str:
+        return self.person_name(owner) if owner.startswith("nm") else self.title_name(owner)
+
+    def caption(self, owner: str, rm: str) -> str:
         h = _h(f"{self.cfg.seed}:cap:{rm}")
         return (
-            f"{self.title_name(tt)} — still {h % 97}: "
+            f"{self.owner_name(owner)} — still {h % 97}: "
             f"{ADJ[(h >> 7) % 10].lower()} {NOUN[(h >> 11) % 10].lower()} scene"
         )
 
     def img_fmt(self, rm: str) -> str:
         return "png" if _h(f"{self.cfg.seed}:fmt:{rm}") % 2 == 0 else "dctq"
 
-    def img_url(self, tt: str, rm: str, size: str) -> str:
-        host = self.host_of_title(tt).replace("www.", "img.")
+    def _host_of(self, owner: str) -> str:
+        return (
+            self.host_of_person(owner) if owner.startswith("nm") else self.host_of_title(owner)
+        )
+
+    def img_url(self, owner: str, rm: str, size: str) -> str:
+        host = self._host_of(owner).replace("www.", "img.")
         ext = self.img_fmt(rm)
         spec = {"small": "UX32_CR0", "large": "UX96_CR0"}[size]
         return f"https://{host}/images/{rm}.{spec}.{ext}"
@@ -259,12 +286,13 @@ class SyntheticSite:
             f'<span class="video-count">{nv:,} Videos</span>\n</body></html>'
         )
 
-    def _mediaindex_body(self, tt: str, page: int) -> str:
-        n = self.n_images(tt)
+    def _mediaindex_body(self, owner: str, page: int) -> str:
+        n = self.n_images(owner)
+        prefix = "name" if owner.startswith("nm") else "title"
         first, last = (page - 1) * PER_PAGE, min(page * PER_PAGE, n)
         rows = [
-            f'<a class="thumb" href="/title/{tt}/mediaviewer/{self.rm_id(tt, i)}">'
-            f'<img src="{self.img_url(tt, self.rm_id(tt, i), "small")}"/></a>'
+            f'<a class="thumb" href="/{prefix}/{owner}/mediaviewer/{self.rm_id(owner, i)}">'
+            f'<img src="{self.img_url(owner, self.rm_id(owner, i), "small")}"/></a>'
             for i in range(first, last)
         ]
         return (
@@ -273,12 +301,12 @@ class SyntheticSite:
             + "\n</body></html>"
         )
 
-    def _photo_detail_body(self, tt: str, rm: str) -> str:
+    def _photo_detail_body(self, owner: str, rm: str) -> str:
         return (
             f"<html><body data-kind='photo'>\n"
-            f'<div class="caption">{self.caption(tt, rm)}</div>\n'
-            f'<img data-size="small" src="{self.img_url(tt, rm, "small")}"/>\n'
-            f'<img data-size="large" src="{self.img_url(tt, rm, "large")}"/>\n'
+            f'<div class="caption">{self.caption(owner, rm)}</div>\n'
+            f'<img data-size="small" src="{self.img_url(owner, rm, "small")}"/>\n'
+            f'<img data-size="large" src="{self.img_url(owner, rm, "large")}"/>\n'
             f"</body></html>"
         )
 
@@ -377,12 +405,18 @@ class SyntheticSite:
 
     def _person_body(self, nm: str) -> str:
         # filmography pagination mirrors reference PER_PAGE_OF_HIST=50
-        # (spiders.py:2052, ceil fan-out at 2382-2407)
+        # (spiders.py:2052, ceil fan-out at 2382-2407); the photo/video
+        # count markers drive the nm mediaindex/videogallery fan-out (the
+        # reference probes those pages for counts, spiders.py:2172-2207 —
+        # here the counts ride on the person page like the title page's,
+        # same ceil pagination either way)
         return (
             f"<html><body data-kind='person'>\n<h1>{self.person_name(nm)}</h1>\n"
             f'<span class="jobs">{self.person_jobs(nm)}</span>\n'
             f'<span class="born">{self.person_born(nm)}</span>\n'
             f'<span class="credit-count">{self.n_credits(nm):,} credits</span>\n'
+            f'<span class="image-count">{self.n_images(nm):,} Photos</span>\n'
+            f'<span class="video-count">{self.n_videos(nm):,} Videos</span>\n'
             f"</body></html>"
         )
 
@@ -408,7 +442,7 @@ class SyntheticSite:
         """Ground-truth reviews, newest-first — the order the reference's
         click-load-more loop reveals them (spiders.py:1508-1564)."""
         rows = []
-        for i in range(self.n_reviews(tt)):
+        for i in range(self.n_reviews(tt) + self.cfg.supplement_extra):
             g = _h(f"{self.cfg.seed}:rev:{tt}:{i}")
             rows.append(
                 (
@@ -446,11 +480,18 @@ class SyntheticSite:
     # -- videos (reference getAllvideos/get_cur_video, spiders.py:792-863;
     #    mp4 download spiders.py:3876-3897; videos.csv at 501-511) --------
 
-    def n_videos(self, tt: str) -> int:
-        return _h(f"{self.cfg.seed}:nvid:{tt}") % (self.cfg.max_videos_per_title + 1)
+    def n_videos(self, owner: str) -> int:
+        """Video count for a title OR a person (the reference's nm
+        videogallery probe, spiders.py:2190-2207)."""
+        cap = (
+            self.cfg.max_videos_per_person
+            if owner.startswith("nm")
+            else self.cfg.max_videos_per_title
+        )
+        return _h(f"{self.cfg.seed}:nvid:{owner}") % (cap + 1)
 
-    def vi_id(self, tt: str, idx: int) -> str:
-        return f"vi{_h(f'{self.cfg.seed}:vi:{tt}:{idx}') % 10**9:09d}{idx % 10}"
+    def vi_id(self, owner: str, idx: int) -> str:
+        return f"vi{_h(f'{self.cfg.seed}:vi:{owner}:{idx}') % 10**9:09d}{idx % 10}"
 
     def mp4_url(self, vi: str) -> str:
         h = _h(f"{self.cfg.seed}:mp4:{vi}")
@@ -465,11 +506,11 @@ class SyntheticSite:
         rng = np.random.default_rng(h)
         return b"\x00\x00\x00\x18ftypmp42" + rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
 
-    def _videogallery_body(self, tt: str, page: int) -> str:
-        n = self.n_videos(tt)
+    def _videogallery_body(self, owner: str, page: int) -> str:
+        n = self.n_videos(owner)
         first, last = (page - 1) * PER_PAGE_VIDEO, min(page * PER_PAGE_VIDEO, n)
         rows = [
-            f'<div class="results-item"><a data-video="{self.vi_id(tt, i)}">clip</a></div>'
+            f'<div class="results-item"><a data-video="{self.vi_id(owner, i)}">clip</a></div>'
             for i in range(first, last)
         ]
         return (
@@ -498,7 +539,7 @@ class SyntheticSite:
         scroll-revealed (newest-first) article list before parsing
         (newses.reverse(), spiders.py:4690; O5)."""
         rows = []
-        for i in range(self.n_news(tt)):
+        for i in range(self.n_news(tt) + self.cfg.supplement_extra):
             g = _h(f"{self.cfg.seed}:news:{tt}:{i}")
             rows.append(
                 (
@@ -894,10 +935,10 @@ class SyntheticSite:
             return FetchResult(200, "coming_soon", text=self._coming_soon_body(m.group(1)))
         if re.search(r"/event/all$", url):
             return FetchResult(200, "event_index", text=self._event_index_body())
-        m = re.search(r"/title/(tt\d+)/mediaviewer/(rm\d+)", url)
+        m = re.search(r"/(?:title|name)/((?:tt|nm)\d+)/mediaviewer/(rm\d+)", url)
         if m:
             return FetchResult(200, "photo_detail", text=self._photo_detail_body(m.group(1), m.group(2)))
-        m = re.search(r"/title/(tt\d+)/videogallery\?page=(\d+)", url)
+        m = re.search(r"/(?:title|name)/((?:tt|nm)\d+)/videogallery\?page=(\d+)", url)
         if m:
             return FetchResult(200, "videogallery", text=self._videogallery_body(m.group(1), int(m.group(2))))
         m = re.search(r"/videoplayer/(vi\d+)$", url)
@@ -907,7 +948,7 @@ class SyntheticSite:
         if m:
             vi = m.group(1)
             return FetchResult(200, "video_blob", body=self.video_bytes(vi), meta={"vi": vi})
-        m = re.search(r"/title/(tt\d+)/news$", url)
+        m = re.search(r"/(?:title|name)/((?:tt|nm)\d+)/news$", url)
         if m:
             return FetchResult(200, "news", text=self._news_body(m.group(1)))
         m = re.search(r"/title/(tt\d+)/ratings$", url)
@@ -943,7 +984,7 @@ class SyntheticSite:
                 200, "section", text=self._section_body(m.group(1), m.group(2)),
                 meta={"sec": m.group(2)},
             )
-        m = re.search(r"/title/(tt\d+)/mediaindex\?page=(\d+)", url)
+        m = re.search(r"/(?:title|name)/((?:tt|nm)\d+)/mediaindex\?page=(\d+)", url)
         if m:
             return FetchResult(200, "mediaindex", text=self._mediaindex_body(m.group(1), int(m.group(2))))
         m = re.search(r"/title/(tt\d+)/?$", url)

@@ -78,6 +78,26 @@ def test_caption_equality_and_image_set(crawled, sim):
         assert engine_caps[rm] == v["caption"], rm
 
 
+def test_person_images_in_flagship_table(crawled, sim):
+    """nm photo crawl (reference nm mediaindex probe spiders.py:2172-2189,
+    nmImgTags_IMDB caption scrape 5043-5092, main_downloadIMDB_img_nm
+    main.py:76-78): person-owned rms reach the flagship images table with
+    caption equality, and the renditions table records the nm lineage."""
+    nm_rms = {rm for rm, v in sim.images.items()
+              if (v.get("owner") or "").startswith("nm") and "ori" in v.get("renditions", {})}
+    assert nm_rms  # the fixture world must actually contain person photos
+    rows = crawled.read_log("images").select("image_id", "caption").collect()
+    engine_caps = {r["image_id"]: r["caption"] for r in rows}
+    for rm in nm_rms:
+        assert rm in engine_caps
+        assert engine_caps[rm] == sim.images[rm]["caption"], rm
+    rend_nm = {
+        r["rm"]
+        for r in crawled.read_log("renditions").filter(F.col("nm").isNotNull()).collect()
+    }
+    assert nm_rms <= rend_nm
+
+
 def test_pixel_invariants(crawled):
     site = SyntheticSite(SITE)
     rows = crawled.read_log("images").limit(40).collect()
@@ -141,7 +161,7 @@ def test_reviews_match_ground_truth(crawled, sim):
     rows = crawled.read_log("reviews").collect()
     engine: dict = {}
     for r in sorted(rows, key=lambda r: r["ord"]):
-        engine.setdefault(r["tt"], []).append(
+        engine.setdefault(r["tt"] or r["nm"], []).append(
             (r["review_id"], r["rating"], r["title"], r["name"], r["date"], r["text"], r["action"])
         )
     sim_nonempty = {k: v for k, v in sim.reviews.items() if v}
@@ -180,8 +200,9 @@ def test_videos_match_ground_truth(crawled, sim):
     mp4 download): video-set equality, mp4 URL equality, byte-size and
     payload equality vs the site's source bytes."""
     rows = crawled.read_log("videos").collect()
-    engine = {r["vi"]: (r["tt"], r["mp4_url"]) for r in rows}
+    engine = {r["vi"]: (r["tt"], r["nm"], r["mp4_url"]) for r in rows}
     assert engine == sim.videos
+    assert any(nm for _tt, nm, _u in engine.values())  # person videos present
     assert engine  # the fixture world must actually contain videos
     vf_rows = crawled.read_log("video_files").collect()
     assert {r["vi"]: r["n_bytes"] for r in vf_rows} == sim.video_files
@@ -196,13 +217,14 @@ def test_news_match_ground_truth(crawled, sim):
     rows = crawled.read_log("news").collect()
     engine: dict = {}
     for r in sorted(rows, key=lambda r: r["ord"]):
-        engine.setdefault(r["tt"], []).append(
+        engine.setdefault(r["tt"] or r["nm"], []).append(
             (r["title"], r["url"], r["date"], r["author"], r["source"],
              r["img_url"], r["img_alt"], r["content"])
         )
     sim_nonempty = {k: [tuple(t) for t in v] for k, v in sim.news.items() if v}
     assert engine == sim_nonempty
     assert engine
+    assert any(k.startswith("nm") for k in engine)  # person news present
 
 
 def test_ratings_match_ground_truth(crawled, sim):

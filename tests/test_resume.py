@@ -32,13 +32,13 @@ def _snapshot(io: TableIO) -> dict:
 def test_resume_equals_uninterrupted(spark, tmp_path):
     wh_a, wh_b = str(tmp_path / "a"), str(tmp_path / "b")
     # uninterrupted
-    run_crawl(spark, SEEDS, CrawlConfig(warehouse=wh_a, site=SITE, politeness=POL, max_iterations=32))
+    run_crawl(spark, SEEDS, CrawlConfig(warehouse=wh_a, site=SITE, politeness=POL, max_iterations=64))
     # interrupted after 2 iterations, then resumed (same warehouse)
     cfg_b = CrawlConfig(warehouse=wh_b, site=SITE, politeness=POL, max_iterations=2)
     run_crawl(spark, SEEDS, cfg_b)
     io_b = TableIO(spark, wh_b)
     assert io_b.last_committed() is not None and io_b.last_committed() < 30
-    cfg_b2 = CrawlConfig(warehouse=wh_b, site=SITE, politeness=POL, max_iterations=32)
+    cfg_b2 = CrawlConfig(warehouse=wh_b, site=SITE, politeness=POL, max_iterations=64)
     run_crawl(spark, SEEDS, cfg_b2)
 
     snap_a, snap_b = _snapshot(TableIO(spark, wh_a)), _snapshot(io_b)
@@ -55,13 +55,13 @@ def test_compaction_invariance(spark, tmp_path):
     wh_n = str(tmp_path / "nocompact")
     wh_c = str(tmp_path / "compact")
     run_crawl(spark, SEEDS, CrawlConfig(
-        warehouse=wh_n, site=SITE, politeness=POL, max_iterations=32, compact_every=0))
+        warehouse=wh_n, site=SITE, politeness=POL, max_iterations=64, compact_every=0))
     # compacted run, interrupted right after a compaction boundary
     cfg1 = CrawlConfig(warehouse=wh_c, site=SITE, politeness=POL,
                        max_iterations=3, compact_every=2)
     run_crawl(spark, SEEDS, cfg1)
     run_crawl(spark, SEEDS, CrawlConfig(
-        warehouse=wh_c, site=SITE, politeness=POL, max_iterations=32, compact_every=2))
+        warehouse=wh_c, site=SITE, politeness=POL, max_iterations=64, compact_every=2))
     io_n, io_c = TableIO(spark, wh_n), TableIO(spark, wh_c)
     snap_n, snap_c = _snapshot(io_n), _snapshot(io_c)
     for t in snap_n:
@@ -79,7 +79,7 @@ def test_compaction_invariance(spark, tmp_path):
 
 def test_crawl_terminates_with_empty_frontier(spark, tmp_path):
     wh = str(tmp_path / "c")
-    res = run_crawl(spark, SEEDS, CrawlConfig(warehouse=wh, site=SITE, politeness=POL, max_iterations=32))
+    res = run_crawl(spark, SEEDS, CrawlConfig(warehouse=wh, site=SITE, politeness=POL, max_iterations=64))
     assert res["iterations"][-1]["pending_next"] == 0
     io = TableIO(spark, wh)
     pending = io.read_snapshot("frontier")

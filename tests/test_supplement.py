@@ -1,0 +1,79 @@
+"""Supplement (append-only-new-children) semantics — the engine twin of
+the reference's supplement_reviews / supplement_news jobs
+(spiders.py:4284-4530, 4531-4764): after the main crawl, the site grows
+new review/news children; a supplement run re-fetches those pages and
+appends EXACTLY the new rows, leaving the stored prefix untouched, and a
+second run over the unchanged site appends nothing."""
+
+import dataclasses
+
+import pytest
+from pyspark.sql import functions as F
+
+from film_crawler_spark.operators.politeness import PolitenessConfig
+from film_crawler_spark.plans.crawl_loop import CrawlConfig, run_crawl
+from film_crawler_spark.plans.supplement import run_supplement
+from film_crawler_spark.sources.synthetic_site import SiteConfig, make_seed_ids
+from film_crawler_spark.sources.tableio import TableIO
+
+SITE = SiteConfig(max_images_per_title=10, max_images_per_person=5,
+                  max_videos_per_title=5, max_videos_per_person=3)
+POL = PolitenessConfig(budget_html=16, budget_img=200)
+SEEDS = make_seed_ids(8)
+EXTRA = 2
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("suppwh"))
+    cfg = CrawlConfig(warehouse=wh, site=SITE, politeness=POL, max_iterations=32)
+    run_crawl(spark, SEEDS, cfg)
+    return wh
+
+
+def _rows(io, table):
+    return {
+        tuple(r)
+        for r in io.read_log(table)
+        .drop("iteration")
+        .collect()
+    }
+
+
+def test_supplement_appends_exactly_new_children(spark, warehouse):
+    io = TableIO(spark, warehouse)
+    before_reviews = _rows(io, "reviews")
+    before_news = _rows(io, "news")
+    flog = io.read_log("fetch_log")
+    ok_pages = {
+        k: flog.filter(
+            (F.col("page_kind") == k) & (F.col("status") == 200)
+            & (~F.col("budget_denied"))
+        ).select("canon_url").distinct().count()
+        for k in ("reviews", "news")
+    }
+    assert ok_pages["reviews"] and ok_pages["news"]
+
+    grown = dataclasses.replace(SITE, supplement_extra=EXTRA)
+    cfg = CrawlConfig(warehouse=warehouse, site=grown, politeness=POL)
+    s = run_supplement(spark, cfg)
+    assert s["reviews_new"] == EXTRA * ok_pages["reviews"]
+    assert s["news_new"] == EXTRA * ok_pages["news"]
+
+    after_reviews = _rows(io, "reviews")
+    after_news = _rows(io, "news")
+    # prefix untouched, new rows appended with continuing ordinals
+    assert before_reviews <= after_reviews
+    assert before_news <= after_news
+    assert len(after_reviews) == len(before_reviews) + s["reviews_new"]
+    assert len(after_news) == len(before_news) + s["news_new"]
+    # person news pages are supplemented too (nm-keyed rows present)
+    new_news = after_news - before_news
+    nm_col = [f.name for f in io.read_log("news").schema.fields].index("nm")
+    assert any(r[nm_col] for r in new_news)
+
+    # idempotent: same grown site, second run appends nothing
+    s2 = run_supplement(spark, cfg)
+    assert s2["reviews_new"] == 0 and s2["news_new"] == 0
+    assert _rows(io, "reviews") == after_reviews
+    assert _rows(io, "news") == after_news
