@@ -295,44 +295,55 @@ def discover_links(fetched_ok: DataFrame) -> DataFrame:
     return fetched_ok.mapInPandas(_run, DISCOVERED_SCHEMA)
 
 
-def extract_titles(fetched_ok: DataFrame) -> DataFrame:
+def _thin_extractor(kind: str, row_fn, schema):
+    """Build an ``extract_*(fetched_ok) -> DataFrame`` from a per-row
+    parser ``row_fn(r, body_text) -> list[tuple]``.
+
+    The row parsers are module-level on purpose: they are shared verbatim
+    between these single-table extractors (used by supplement/repair jobs
+    and tests) and the crawl loop's fused single-pass staging writer
+    (plans/fused_staging.py), so the two paths can never drift."""
+    cols = [f.name for f in schema.fields]
+
+    def _extract(fetched_ok: DataFrame) -> DataFrame:
+        def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    if r.kind != kind:
+                        continue
+                    rows.extend(row_fn(r, r.body.decode("utf-8", "replace")))
+                yield pd.DataFrame(rows, columns=cols)
+
+        return fetched_ok.filter(F.col("kind") == kind).mapInPandas(_run, schema)
+
+    _extract.__name__ = f"extract_{kind}"
+    _extract.__doc__ = row_fn.__doc__
+    return _extract
+
+
+def _rows_titles(r, body):
     """Hero fields under the P6 dual-layout dispatch (reference
     spiders.py:339-362): try the old class selectors first; on miss,
     fall back to the data-testid layout — the regex twin of the
     reference's try/except selector switch."""
-
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "title":
-                    continue
-                body = r.body.decode("utf-8", "replace")
-                hero = _RE_HERO.search(body) or _RE_HERO_B.search(body)
-                cnt = _RE_COUNT.search(body)
-                if hero:
-                    rows.append(
-                        (r.tt, hero.group(1), float(hero.group(2)), int(hero.group(3)),
-                         int(cnt.group(1).replace(",", "")) if cnt else 0)
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in TITLE_SCHEMA.fields])
-
-    return fetched_ok.filter(F.col("kind") == "title").mapInPandas(_run, TITLE_SCHEMA)
+    hero = _RE_HERO.search(body) or _RE_HERO_B.search(body)
+    if not hero:
+        return []
+    cnt = _RE_COUNT.search(body)
+    return [(r.tt, hero.group(1), float(hero.group(2)), int(hero.group(3)),
+             int(cnt.group(1).replace(",", "")) if cnt else 0)]
 
 
-def extract_captions(fetched_ok: DataFrame) -> DataFrame:
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "photo_detail":
-                    continue
-                m = _RE_CAPTION.search(r.body.decode("utf-8", "replace"))
-                if m:
-                    rows.append((r.rm, r.tt, r.nm, m.group(1)))
-            yield pd.DataFrame(rows, columns=[f.name for f in CAPTION_SCHEMA.fields])
+def _rows_captions(r, body):
+    """Photo-detail caption (reference imgTags_IMDB, spiders.py:5043-5092;
+    owner is a title OR a person — nm caption scrape is the same parse)."""
+    m = _RE_CAPTION.search(body)
+    return [(r.rm, r.tt, r.nm, m.group(1))] if m else []
 
-    return fetched_ok.filter(F.col("kind") == "photo_detail").mapInPandas(_run, CAPTION_SCHEMA)
+
+extract_titles = _thin_extractor("title", _rows_titles, TITLE_SCHEMA)
+extract_captions = _thin_extractor("photo_detail", _rows_captions, CAPTION_SCHEMA)
 
 
 REVIEW_SCHEMA = T.StructType(
@@ -379,52 +390,29 @@ CREDIT_SCHEMA = T.StructType(
 )
 
 
-def extract_persons(fetched_ok: DataFrame) -> DataFrame:
+def _rows_persons(r, body):
     """Person hero fields (reference person base.csv: id, name, jobs,
     born — spiders.py:2235-2242, parsed at 2131-2165)."""
-
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "person":
-                    continue
-                body = r.body.decode("utf-8", "replace")
-                hero = _RE_PERSON_HERO.search(body)
-                cnt = _RE_CREDITS.search(body)
-                if hero:
-                    rows.append(
-                        (r.nm, hero.group(1), hero.group(2), int(hero.group(3)),
-                         int(cnt.group(1).replace(",", "")) if cnt else 0)
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in PERSON_SCHEMA.fields])
-
-    return fetched_ok.filter(F.col("kind") == "person").mapInPandas(_run, PERSON_SCHEMA)
+    hero = _RE_PERSON_HERO.search(body)
+    if not hero:
+        return []
+    cnt = _RE_CREDITS.search(body)
+    return [(r.nm, hero.group(1), hero.group(2), int(hero.group(3)),
+             int(cnt.group(1).replace(",", "")) if cnt else 0)]
 
 
-def extract_credits(fetched_ok: DataFrame) -> DataFrame:
+def _rows_credits(r, body):
     """Filmography rows (reference hists.csv: id, url, title —
     spiders.py:2332-2340, paginated get_hist at 2382-2421). ``ord`` is
     the position on the page; (page, ord) reconstructs the reference's
     sort=year traversal order."""
-
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "filmo":
-                    continue
-                body = r.body.decode("utf-8", "replace")
-                pm = re.search(r"data-page='(\d+)'", body)
-                page = int(pm.group(1)) if pm else 0
-                for i, m in enumerate(_RE_FILMO_ROW.finditer(body)):
-                    rows.append((r.nm, page, i, m.group(1), m.group(2)))
-            yield pd.DataFrame(rows, columns=[f.name for f in CREDIT_SCHEMA.fields])
-
-    return fetched_ok.filter(F.col("kind") == "filmo").mapInPandas(_run, CREDIT_SCHEMA)
+    pm = re.search(r"data-page='(\d+)'", body)
+    page = int(pm.group(1)) if pm else 0
+    return [(r.nm, page, i, m.group(1), m.group(2))
+            for i, m in enumerate(_RE_FILMO_ROW.finditer(body))]
 
 
-def extract_reviews(fetched_ok: DataFrame) -> DataFrame:
+def _rows_reviews(r, body):
     """getEachReview twin (reference spiders.py:1566-1597, 4491-4528):
     reviews.csv columns (rating, title, name, ID, date, text, action).
     The loaded-all marker (reference's termination condition,
@@ -434,22 +422,15 @@ def extract_reviews(fetched_ok: DataFrame) -> DataFrame:
     still marked seen (a 200 commits to the seen set), so recovery for
     a real site is ``--repair`` after the resolver heals, not an
     automatic re-fetch; the synthetic resolver always emits the marker."""
+    if not _RE_LOADED_ALL.search(body):
+        return []
+    return [(r.tt, i, *m.groups())
+            for i, m in enumerate(_RE_REVIEW.finditer(body))]
 
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "reviews":
-                    continue
-                body = r.body.decode("utf-8", "replace")
-                if not _RE_LOADED_ALL.search(body):
-                    continue
-                for i, m in enumerate(_RE_REVIEW.finditer(body)):
-                    rid, rating, title, name, date, text, action = m.groups()
-                    rows.append((r.tt, i, rid, rating, title, name, date, text, action))
-            yield pd.DataFrame(rows, columns=[f.name for f in REVIEW_SCHEMA.fields])
 
-    return fetched_ok.filter(F.col("kind") == "reviews").mapInPandas(_run, REVIEW_SCHEMA)
+extract_persons = _thin_extractor("person", _rows_persons, PERSON_SCHEMA)
+extract_credits = _thin_extractor("filmo", _rows_credits, CREDIT_SCHEMA)
+extract_reviews = _thin_extractor("reviews", _rows_reviews, REVIEW_SCHEMA)
 
 
 _RE_SEC_KIND = re.compile(r"data-sec='(\w+)'")
@@ -484,26 +465,17 @@ SECTION_COLUMNS = {
 }
 
 
-def extract_sections(fetched_ok: DataFrame) -> DataFrame:
+def _rows_sections(r, body):
     """Section pages -> tall (tt, section, ord, f1..f3) rows, in page
     order — one parse pass for the whole §2.11 section family; typed
     per-section frames come from ``section_view``."""
+    km = _RE_SEC_KIND.search(body)
+    sec = km.group(1) if km else None
+    return [(r.tt, sec, i, *(g if g else None for g in m.groups()))
+            for i, m in enumerate(_RE_SEC_ROW.finditer(body))]
 
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "section":
-                    continue
-                body = r.body.decode("utf-8", "replace")
-                km = _RE_SEC_KIND.search(body)
-                sec = km.group(1) if km else None
-                for i, m in enumerate(_RE_SEC_ROW.finditer(body)):
-                    f1, f2, f3 = (g if g else None for g in m.groups())
-                    rows.append((r.tt, sec, i, f1, f2, f3))
-            yield pd.DataFrame(rows, columns=[f.name for f in SECTION_SCHEMA.fields])
 
-    return fetched_ok.filter(F.col("kind") == "section").mapInPandas(_run, SECTION_SCHEMA)
+extract_sections = _thin_extractor("section", _rows_sections, SECTION_SCHEMA)
 
 
 def section_view(sections: DataFrame, sec: str) -> DataFrame:
@@ -665,27 +637,18 @@ _RE_CO_FILM_ROW = re.compile(r'<tr class="co-film">((?:<td>.*?</td>){15})</tr>')
 _RE_TD = re.compile(r"<td>(.*?)</td>")
 
 
-def extract_videos(fetched_ok: DataFrame) -> DataFrame:
+def _rows_videos(r, body):
     """getAllvideos/get_cur_video twin (reference spiders.py:792-863):
     one (vi, tt, mp4_url) row per video player page, the engine's
     videos.csv (url, ID — reference spiders.py:501-511)."""
+    mp4 = next(
+        (u for u in _RE_VIDEO_URL.findall(body) if re.search(r"\.mp4\?", u)),
+        None,
+    )
+    return [(r.vi, r.tt, r.nm, mp4)] if mp4 else []
 
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "video_player":
-                    continue
-                body = r.body.decode("utf-8", "replace")
-                mp4 = next(
-                    (u for u in _RE_VIDEO_URL.findall(body) if re.search(r"\.mp4\?", u)),
-                    None,
-                )
-                if mp4:
-                    rows.append((r.vi, r.tt, r.nm, mp4))
-            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
 
-    return fetched_ok.filter(F.col("kind") == "video_player").mapInPandas(_run, VIDEO_SCHEMA)
+extract_videos = _thin_extractor("video_player", _rows_videos, VIDEO_SCHEMA)
 
 
 def extract_video_files(fetched_ok: DataFrame) -> DataFrame:
@@ -697,91 +660,63 @@ def extract_video_files(fetched_ok: DataFrame) -> DataFrame:
     )
 
 
-def extract_news(fetched_ok: DataFrame) -> DataFrame:
+def _rows_news(r, body):
     """getEachNews twin (reference spiders.py:4706-4762): 8-col news rows.
     The page displays newest-first; the parser REVERSES before emitting
     (newses.reverse(), spiders.py:4690 — O5), so ``ord`` is oldest-first.
     Same loaded-all completeness contract as reviews."""
-
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "news":
-                    continue
-                body = r.body.decode("utf-8", "replace")
-                if not _RE_LOADED_ALL.search(body):
-                    continue
-                arts = _RE_NEWS_ART.findall(body)
-                for i, (url, title, date, author, source, img_url, img_alt, content) in enumerate(
-                    reversed(arts)
-                ):
-                    rows.append((r.tt, r.nm, i, title, url, date, author, source,
-                                 img_url, img_alt, content))
-            yield pd.DataFrame(rows, columns=[f.name for f in NEWS_SCHEMA.fields])
-
-    return fetched_ok.filter(F.col("kind") == "news").mapInPandas(_run, NEWS_SCHEMA)
+    if not _RE_LOADED_ALL.search(body):
+        return []
+    return [
+        (r.tt, r.nm, i, title, url, date, author, source, img_url, img_alt, content)
+        for i, (url, title, date, author, source, img_url, img_alt, content)
+        in enumerate(reversed(_RE_NEWS_ART.findall(body)))
+    ]
 
 
-def extract_ratings(fetched_ok: DataFrame) -> DataFrame:
+extract_news = _thin_extractor("news", _rows_news, NEWS_SCHEMA)
+
+
+def _rows_ratings(r, body):
     """getRatings twin (reference spiders.py:4962-5040): the 3 rating
     tables + the demographics grid as a MapType column (SURVEY §1.2's
     nested-data modernization of the reference's dict-literal string)."""
-
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "ratings":
-                    continue
-                body = r.body.decode("utf-8", "replace")
-                head = _RE_RATINGS_HEAD.search(body)
-                if not head:
-                    continue
-                by_score = _RE_RATINGS_SCORE.search(body)
-                statics = _RE_RATINGS_STATICS.search(body)
-                by_users = _RE_RATINGS_USERS.search(body)
-                demo = {}
-                for cate, cells in _RE_DEMO_ROW.findall(body):
-                    for col, score, votes in _RE_DEMO_CELL.findall(cells):
-                        demo[f"{cate}|{col}"] = f"{score},{votes}"
-                rows.append(
-                    (
-                        r.tt,
-                        int(head.group(1).replace(",", "")),
-                        head.group(2),
-                        by_score.group(1) if by_score else None,
-                        statics.group(1) if statics else None,
-                        statics.group(2) if statics else None,
-                        demo,
-                        by_users.group(1) if by_users else None,
-                    )
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in RATINGS_SCHEMA.fields])
-
-    return fetched_ok.filter(F.col("kind") == "ratings").mapInPandas(_run, RATINGS_SCHEMA)
+    head = _RE_RATINGS_HEAD.search(body)
+    if not head:
+        return []
+    by_score = _RE_RATINGS_SCORE.search(body)
+    statics = _RE_RATINGS_STATICS.search(body)
+    by_users = _RE_RATINGS_USERS.search(body)
+    demo = {}
+    for cate, cells in _RE_DEMO_ROW.findall(body):
+        for col, score, votes in _RE_DEMO_CELL.findall(cells):
+            demo[f"{cate}|{col}"] = f"{score},{votes}"
+    return [
+        (
+            r.tt,
+            int(head.group(1).replace(",", "")),
+            head.group(2),
+            by_score.group(1) if by_score else None,
+            statics.group(1) if statics else None,
+            statics.group(2) if statics else None,
+            demo,
+            by_users.group(1) if by_users else None,
+        )
+    ]
 
 
-def extract_psections(fetched_ok: DataFrame) -> DataFrame:
+def _rows_psections(r, body):
     """Person aux subpages -> tall (nm, section, ord, f1..f6) rows
     (reference bio/otherworks/publicity/external_sites/person-awards,
     spiders.py:2291-2623). Awards uses all six fields; the rest f1..f3."""
+    km = _RE_SEC_KIND.search(body)
+    sec = km.group(1) if km else None
+    return [(r.nm, sec, i, *(g if g else None for g in m.groups()))
+            for i, m in enumerate(_RE_PSEC_ROW.finditer(body))]
 
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "psection":
-                    continue
-                body = r.body.decode("utf-8", "replace")
-                km = _RE_SEC_KIND.search(body)
-                sec = km.group(1) if km else None
-                for i, m in enumerate(_RE_PSEC_ROW.finditer(body)):
-                    fs = tuple(g if g else None for g in m.groups())
-                    rows.append((r.nm, sec, i, *fs))
-            yield pd.DataFrame(rows, columns=[f.name for f in PSECTION_SCHEMA.fields])
 
-    return fetched_ok.filter(F.col("kind") == "psection").mapInPandas(_run, PSECTION_SCHEMA)
+extract_ratings = _thin_extractor("ratings", _rows_ratings, RATINGS_SCHEMA)
+extract_psections = _thin_extractor("psection", _rows_psections, PSECTION_SCHEMA)
 
 
 def psection_view(psections: DataFrame, sec: str) -> DataFrame:
@@ -792,123 +727,122 @@ def psection_view(psections: DataFrame, sec: str) -> DataFrame:
     )
 
 
-def extract_events(fetched_ok: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """getEvent twin (reference spiders.py:2668-2833): event hero + 9-col
-    award rows, under the dual-layout dispatch — DOM selectors when the
-    page renders the widget, embedded-JSON extraction (X12) otherwise.
-    Returns (events_base, event_awards)."""
+def _rows_events_base(r, body):
+    """getEvent hero twin (reference spiders.py:2668-2833) under the
+    dual-layout dispatch — DOM selectors when the page renders the
+    widget, embedded-JSON extraction (X12) otherwise."""
     import json as _json
 
-    def _base(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "event":
-                    continue
-                body = r.body.decode("utf-8", "replace")
-                lay = _RE_EVENT_LAYOUT.search(body)
-                layout = lay.group(1) if lay else None
-                if layout == "dom":
-                    h = _RE_EVENT_DOM_HEAD.search(body)
-                    if h:
-                        rows.append((r.ev, h.group(1), h.group(2), h.group(3), layout))
-                else:
-                    jm = _RE_EVENT_JSON.search(body)
-                    if jm:
-                        model = _json.loads(jm.group(1))["nomineesWidgetModel"]
-                        s = model["eventEditionSummary"]
-                        rows.append((r.ev, s["eventName"], "", str(s["year"]), layout))
-            yield pd.DataFrame(rows, columns=[f.name for f in EVENT_BASE_SCHEMA.fields])
-
-    def _awards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "event":
-                    continue
-                body = r.body.decode("utf-8", "replace")
-                lay = _RE_EVENT_LAYOUT.search(body)
-                layout = lay.group(1) if lay else None
-                if layout == "dom":
-                    for i, m in enumerate(_RE_EVENT_DOM_AWARD.finditer(body)):
-                        aw, cate, win, img, pid, pn, sid, sn, notes = m.groups()
-                        rows.append((r.ev, i, aw, cate, win, img, pn, pid, sn, sid, notes))
-                else:
-                    jm = _RE_EVENT_JSON.search(body)
-                    if not jm:
-                        continue
-                    model = _json.loads(jm.group(1))["nomineesWidgetModel"]
-                    i = 0
-                    for award in model["eventEditionSummary"]["awards"]:
-                        for cate in award["categories"]:
-                            for nom in cate["nominations"]:
-                                img = ""
-                                pns, pids = [], []
-                                for nominee in nom["primaryNominees"]:
-                                    if nominee.get("imageUrl"):
-                                        img = nominee["imageUrl"]
-                                    pns.append(nominee["name"])
-                                    pids.append(nominee["const"])
-                                sns = [x["name"] for x in nom["secondaryNominees"]]
-                                sids = [x["const"] for x in nom["secondaryNominees"]]
-                                rows.append(
-                                    (
-                                        r.ev, i, award["awardName"],
-                                        cate["categoryName"] or "",
-                                        "Winner" if nom["isWinner"] else "not Winner",
-                                        img, ",".join(pns), ",".join(pids),
-                                        ",".join(sns), ",".join(sids),
-                                        nom["notes"] or "",
-                                    )
-                                )
-                                i += 1
-            yield pd.DataFrame(rows, columns=[f.name for f in EVENT_AWARD_SCHEMA.fields])
-
-    evs = fetched_ok.filter(F.col("kind") == "event")
-    return evs.mapInPandas(_base, EVENT_BASE_SCHEMA), evs.mapInPandas(_awards, EVENT_AWARD_SCHEMA)
+    lay = _RE_EVENT_LAYOUT.search(body)
+    layout = lay.group(1) if lay else None
+    if layout == "dom":
+        h = _RE_EVENT_DOM_HEAD.search(body)
+        return [(r.ev, h.group(1), h.group(2), h.group(3), layout)] if h else []
+    jm = _RE_EVENT_JSON.search(body)
+    if not jm:
+        return []
+    s = _json.loads(jm.group(1))["nomineesWidgetModel"]["eventEditionSummary"]
+    return [(r.ev, s["eventName"], "", str(s["year"]), layout)]
 
 
-def extract_companies(fetched_ok: DataFrame) -> DataFrame:
+def _rows_event_awards(r, body):
+    """getEvent 9-col award rows (reference spiders.py:2700-2833), same
+    dual-layout dispatch as the hero parse."""
+    import json as _json
+
+    lay = _RE_EVENT_LAYOUT.search(body)
+    layout = lay.group(1) if lay else None
+    rows = []
+    if layout == "dom":
+        for i, m in enumerate(_RE_EVENT_DOM_AWARD.finditer(body)):
+            aw, cate, win, img, pid, pn, sid, sn, notes = m.groups()
+            rows.append((r.ev, i, aw, cate, win, img, pn, pid, sn, sid, notes))
+        return rows
+    jm = _RE_EVENT_JSON.search(body)
+    if not jm:
+        return []
+    model = _json.loads(jm.group(1))["nomineesWidgetModel"]
+    i = 0
+    for award in model["eventEditionSummary"]["awards"]:
+        for cate in award["categories"]:
+            for nom in cate["nominations"]:
+                img = ""
+                pns, pids = [], []
+                for nominee in nom["primaryNominees"]:
+                    if nominee.get("imageUrl"):
+                        img = nominee["imageUrl"]
+                    pns.append(nominee["name"])
+                    pids.append(nominee["const"])
+                sns = [x["name"] for x in nom["secondaryNominees"]]
+                sids = [x["const"] for x in nom["secondaryNominees"]]
+                rows.append(
+                    (
+                        r.ev, i, award["awardName"],
+                        cate["categoryName"] or "",
+                        "Winner" if nom["isWinner"] else "not Winner",
+                        img, ",".join(pns), ",".join(pids),
+                        ",".join(sns), ",".join(sids),
+                        nom["notes"] or "",
+                    )
+                )
+                i += 1
+    return rows
+
+
+def _rows_companies(r, body):
     """Company header page -> (co, name, n_titles) (reference get_co_info
     count + name parse, spiders.py:3303-3322)."""
-
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "company":
-                    continue
-                body = r.body.decode("utf-8", "replace")
-                hm = _RE_CO_HEADER.search(body)
-                cm = _RE_CO_COUNT.search(body)
-                if hm:
-                    rows.append((r.co, hm.group(1),
-                                 int(cm.group(1).replace(",", "")) if cm else 0))
-            yield pd.DataFrame(rows, columns=[f.name for f in COMPANY_BASE_SCHEMA.fields])
-
-    return fetched_ok.filter(F.col("kind") == "company").mapInPandas(_run, COMPANY_BASE_SCHEMA)
+    hm = _RE_CO_HEADER.search(body)
+    if not hm:
+        return []
+    cm = _RE_CO_COUNT.search(body)
+    return [(r.co, hm.group(1), int(cm.group(1).replace(",", "")) if cm else 0)]
 
 
-def extract_company_films(fetched_ok: DataFrame) -> DataFrame:
+extract_events_base = _thin_extractor("event", _rows_events_base, EVENT_BASE_SCHEMA)
+extract_event_awards = _thin_extractor("event", _rows_event_awards, EVENT_AWARD_SCHEMA)
+extract_companies = _thin_extractor("company", _rows_companies, COMPANY_BASE_SCHEMA)
+
+
+def extract_events(fetched_ok: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Returns (events_base, event_awards) — see the row parsers above."""
+    return extract_events_base(fetched_ok), extract_event_awards(fetched_ok)
+
+
+def _rows_company_films(r, body):
     """Company search-result pages -> 15-field film rows + (co, page, ord)
     (reference get_curPage_co, spiders.py:3352-3437)."""
+    sm = _RE_CO_START.search(body)
+    start = int(sm.group(1)) if sm else 1
+    page = (start - 1) // PER_PAGE_CO + 1
+    return [(r.co, page, i, *_RE_TD.findall(m.group(1)))
+            for i, m in enumerate(_RE_CO_FILM_ROW.finditer(body))]
 
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "co_page":
-                    continue
-                body = r.body.decode("utf-8", "replace")
-                sm = _RE_CO_START.search(body)
-                start = int(sm.group(1)) if sm else 1
-                page = (start - 1) // PER_PAGE_CO + 1
-                for i, m in enumerate(_RE_CO_FILM_ROW.finditer(body)):
-                    tds = _RE_TD.findall(m.group(1))
-                    rows.append((r.co, page, i, *tds))
-            yield pd.DataFrame(rows, columns=[f.name for f in COMPANY_FILM_SCHEMA.fields])
 
-    return fetched_ok.filter(F.col("kind") == "co_page").mapInPandas(_run, COMPANY_FILM_SCHEMA)
+extract_company_films = _thin_extractor("co_page", _rows_company_films, COMPANY_FILM_SCHEMA)
+
+# table -> (source page kind, per-row parser, Spark schema) for every
+# Python-parsed thin result table. Single source of truth shared by the
+# per-table extract_* API above and the crawl loop's fused single-pass
+# staging writer (plans/fused_staging.py). The blob-carrying tables
+# (renditions, images, video_files) are deliberately NOT here: their
+# bytes stay JVM-side (decode_blobs / extract_video_files projections).
+THIN_TABLES: dict[str, tuple] = {
+    "titles": ("title", _rows_titles, TITLE_SCHEMA),
+    "captions": ("photo_detail", _rows_captions, CAPTION_SCHEMA),
+    "sections": ("section", _rows_sections, SECTION_SCHEMA),
+    "reviews": ("reviews", _rows_reviews, REVIEW_SCHEMA),
+    "persons": ("person", _rows_persons, PERSON_SCHEMA),
+    "credits": ("filmo", _rows_credits, CREDIT_SCHEMA),
+    "videos": ("video_player", _rows_videos, VIDEO_SCHEMA),
+    "news": ("news", _rows_news, NEWS_SCHEMA),
+    "ratings": ("ratings", _rows_ratings, RATINGS_SCHEMA),
+    "psections": ("psection", _rows_psections, PSECTION_SCHEMA),
+    "events_base": ("event", _rows_events_base, EVENT_BASE_SCHEMA),
+    "event_awards": ("event", _rows_event_awards, EVENT_AWARD_SCHEMA),
+    "companies_base": ("company", _rows_companies, COMPANY_BASE_SCHEMA),
+    "company_films": ("co_page", _rows_company_films, COMPANY_FILM_SCHEMA),
+}
 
 
 def decode_blobs(fetched_ok: DataFrame) -> DataFrame:

@@ -39,6 +39,7 @@ from film_crawler_spark.operators import robots as ROB
 from film_crawler_spark.operators.fetch import fetch_batch
 from film_crawler_spark.operators.politeness import PolitenessConfig
 from film_crawler_spark.operators.seen import BloomSeenSet, filter_unseen
+from film_crawler_spark.plans.fused_staging import stage_thin_tables as fused_stage
 from film_crawler_spark.sources.synthetic_site import SiteConfig, SyntheticSite
 from film_crawler_spark.sources.tableio import TableIO
 
@@ -279,18 +280,14 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     next_pending = leftover.unionByName(denied_rows).unionByName(new_rows)
 
     # --- results ---
-    # kind-aware staging: most iterations carry only a few page kinds
-    # (BFS depth waves: titles, then sections/galleries, then persons/
-    # events/companies, then leaves). An extract whose source kind is
-    # absent this iteration is replaced by a STATICALLY empty DataFrame
-    # — its parquet write is a trivial job that never touches the fat
-    # fetched cache or spawns Python workers. Without this, ~24
-    # concurrent staging jobs ran per iteration regardless of content,
-    # and that fixed driver-side cost dominated small-core crawl walls
-    # (measured: the round-2 entity graph dropped N->4N scaling
-    # efficiency to 0.42 before this change). The kind set derives from
-    # the committed fetch_log, so resume replays the same choices; the
-    # staged bytes are identical either way.
+    # kind-aware staging for the blob-carrying tables: an extract whose
+    # source kind is absent this iteration is replaced by a STATICALLY
+    # empty DataFrame — its parquet write is a trivial job that never
+    # touches the fat fetched cache or spawns Python workers. The kind
+    # set derives from the committed fetch_log, so resume replays the
+    # same choices; the staged bytes are identical either way. (The 14
+    # THIN text tables no longer go through this at all — one fused
+    # single-pass job stages them together, see plans/fused_staging.py.)
     kinds_present = {
         r["page_kind"]
         for r in flog.filter(F.col("status") == 200).select("page_kind").distinct().collect()
@@ -311,22 +308,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         else:
             io.stage(df, table, it)
 
-    titles = _maybe(P.extract_titles(ok).withColumn("iteration", F.lit(it)), "titles", "title")
-    captions = _maybe(P.extract_captions(ok).withColumn("iteration", F.lit(it)), "captions", "photo_detail")
-    sections = _maybe(P.extract_sections(ok).withColumn("iteration", F.lit(it)), "sections", "section")
-    reviews = _maybe(P.extract_reviews(ok).withColumn("iteration", F.lit(it)), "reviews", "reviews")
-    persons = _maybe(P.extract_persons(ok).withColumn("iteration", F.lit(it)), "persons", "person")
-    credits = _maybe(P.extract_credits(ok).withColumn("iteration", F.lit(it)), "credits", "filmo")
-    videos = _maybe(P.extract_videos(ok).withColumn("iteration", F.lit(it)), "videos", "video_player")
     video_files = _maybe(P.extract_video_files(ok).withColumn("iteration", F.lit(it)), "video_files", "video_blob")
-    news = _maybe(P.extract_news(ok).withColumn("iteration", F.lit(it)), "news", "news")
-    ratings = _maybe(P.extract_ratings(ok).withColumn("iteration", F.lit(it)), "ratings", "ratings")
-    psections = _maybe(P.extract_psections(ok).withColumn("iteration", F.lit(it)), "psections", "psection")
-    events_base, event_awards = P.extract_events(ok)
-    events_base = _maybe(events_base.withColumn("iteration", F.lit(it)), "events_base", "event")
-    event_awards = _maybe(event_awards.withColumn("iteration", F.lit(it)), "event_awards", "event")
-    companies_base = _maybe(P.extract_companies(ok).withColumn("iteration", F.lit(it)), "companies_base", "company")
-    company_films = _maybe(P.extract_company_films(ok).withColumn("iteration", F.lit(it)), "company_films", "co_page")
     # ori bytes live ONLY in the images table; renditions stores the
     # small/large payloads. Writing ori into both (as before) doubled the
     # heaviest write of a media iteration; renditions_view() reunites
@@ -359,22 +341,34 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     )
 
     # --- stage everything, then the atomic commit ---
-    # Staging jobs are independent Spark jobs; submit them concurrently so
-    # the per-job scheduling overhead overlaps (the cluster still sees
-    # ordinary DataFrame writes — this is driver-side concurrency only).
-    # `images` is the one dependency: it reads the renditions parquet so
-    # the decode+phash pass over blob bytes runs once, not twice.
+    # The 14 thin text tables stage through ONE fused single-pass job
+    # (plans/fused_staging.py) — parse + write per table shard inside a
+    # single scan of the fetched cache, no per-table Spark job. The
+    # remaining staging jobs (frontier/seen/metrics/dead_letter/robots
+    # bookkeeping off the body-free fetch_log, plus the blob-fat
+    # renditions/images/video_files writes) are independent Spark jobs;
+    # submit them concurrently so the per-job scheduling overhead
+    # overlaps (driver-side concurrency only). `images` depends on the
+    # fused job: its caption join reads the staged captions delta so the
+    # body cache is scanned exactly once for all thin parses.
     from concurrent.futures import ThreadPoolExecutor
 
     post_counts: dict[str, int] = {}
 
-    # full caption view: committed captions + this iteration's delta.
-    # Used by the images join below, and staged whole as the captions
-    # base on compaction iterations.
+    # on compaction iterations captions is staged as the FULL union
+    # (superseding all earlier delta dirs at read time), via a normal
+    # Spark write — the fused pass skips it then
+    fused_exclude = frozenset({"captions"}) if do_compact else frozenset()
     caps_all = io.read_log("captions", upto=it - 1)
-    caps_all_u = captions if caps_all is None else caps_all.unionByName(captions)
+
+    def _stage_fused():
+        post_counts["thin"] = fused_stage(ok, io, it, exclude=fused_exclude)
 
     def _stage_images():
+        # the caption join below reads the staged captions delta, so on
+        # non-compaction iterations wait for the fused pass to land it
+        if not do_compact:
+            fused_future.result()
         t_r = time.time()
         _stage(renditions, "renditions")
         stage_s["renditions"] = round(time.time() - t_r, 2)
@@ -392,6 +386,14 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         # streams map-side, never shuffles, and the broadcast payload is
         # per-iteration-sized instead of growing with the whole crawl.
         rm_this_it = flog.filter(F.col("page_kind") == "image_blob").select("rm").distinct()
+        # this-iteration caption delta: the staged parquet (fused pass,
+        # body-free re-read) normally; the Spark parse plan on compaction
+        # iterations (where the fused pass skipped captions)
+        caps_delta = (
+            captions_plan if do_compact
+            else spark.read.parquet(io._tdir("captions", it))
+        )
+        caps_all_u = caps_delta if caps_all is None else caps_all.unionByName(caps_delta)
         caps_needed = caps_all_u.select("rm", "caption").join(
             F.broadcast(rm_this_it), "rm", "left_semi"
         )
@@ -419,27 +421,22 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         io.stage(next_pending, "frontier", it)
         post_counts["pending_next"] = spark.read.parquet(io._tdir("frontier", it)).count()
 
+    if do_compact:
+        # captions full-union base: committed log + this iteration's
+        # parse (the fused pass skips captions on compaction iterations)
+        captions_plan = P.extract_captions(ok).withColumn("iteration", F.lit(it))
+        caps_base = (
+            captions_plan if caps_all is None
+            else caps_all.unionByName(captions_plan)
+        )
+
     jobs = [
         ("frontier", _stage_frontier),
         # on compaction iterations the full union is staged as a base
         # (superseding all earlier delta dirs at read time)
         ("seen", lambda: io.stage(all_seen if do_compact else seen_delta, "seen", it)),
-        ("titles", lambda: _stage(titles, "titles")),
-        ("captions", lambda: io.stage(caps_all_u, "captions", it)
-            if do_compact else _stage(captions, "captions")),
-        ("sections", lambda: _stage(sections, "sections")),
-        ("reviews", lambda: _stage(reviews, "reviews")),
-        ("persons", lambda: _stage(persons, "persons")),
-        ("credits", lambda: _stage(credits, "credits")),
-        ("videos", lambda: _stage(videos, "videos")),
+        *([("captions", lambda: io.stage(caps_base, "captions", it))] if do_compact else []),
         ("video_files", lambda: _stage(video_files, "video_files")),
-        ("news", lambda: _stage(news, "news")),
-        ("ratings", lambda: _stage(ratings, "ratings")),
-        ("psections", lambda: _stage(psections, "psections")),
-        ("events_base", lambda: _stage(events_base, "events_base")),
-        ("event_awards", lambda: _stage(event_awards, "event_awards")),
-        ("companies_base", lambda: _stage(companies_base, "companies_base")),
-        ("company_films", lambda: _stage(company_films, "company_films")),
         ("dead_letter", lambda: io.stage(
             dead.withColumn("iteration", F.lit(it)), "dead_letter", it)),
         ("metrics", lambda: io.stage(metrics, "metrics", it)),
@@ -469,9 +466,12 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         fn()
         stage_s[name] = round(time.time() - t, 2)
 
-    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+    with ThreadPoolExecutor(max_workers=len(jobs) + 1) as pool:
+        # the fused pass goes in FIRST: it is the one full scan of the
+        # fat body cache, and the images job blocks on it (caption join)
+        fused_future = pool.submit(_timed, "thin_fused", _stage_fused)
         futures = [pool.submit(_timed, name, fn) for name, fn in jobs]
-        for f in futures:
+        for f in [fused_future, *futures]:
             f.result()  # propagate failures before commit
 
     fetched.unpersist()
@@ -490,6 +490,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         "fetch_s": t_fetch,
         "discover_s": t_discover,
         "stage_s": stage_s,
+        "staged_rows": post_counts.get("thin", {}),
     }
     extra = {"summary": summary}
     if do_compact:
