@@ -64,8 +64,16 @@ def exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 def words_expr(text_col):
-    """Normalized word array (JVM-side)."""
-    return F.split(F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " "), " ")
+    """Normalized word array (JVM-side). NULL text is treated as empty
+    text (coalesce to ''): without it, size(NULL)/sequence/concat_ws
+    NULL-propagation gives NULL-text docs a config-dependent shingle set
+    on the Spark side while the DuckDB oracles' unnest(NULL) drops them
+    entirely — the two engines must agree on one rule, and every oracle
+    SQL replays the same coalesce."""
+    return F.split(
+        F.regexp_replace(F.trim(F.lower(F.coalesce(text_col, F.lit("")))), r"\s+", " "),
+        " ",
+    )
 
 
 def shingles_of_words(words_col, n: int = 3):
@@ -414,7 +422,7 @@ def minhash_oracle_sql(
     b_lit = ", ".join(str(int(x)) for x in b_par)
     return f"""
 WITH w AS (
-  SELECT {id_col}, string_split(regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g'), ' ') AS ws
+  SELECT {id_col}, string_split(regexp_replace(trim(lower(coalesce({text_col}, ''))), '\\s+', ' ', 'g'), ' ') AS ws
   FROM {table}),
 sh AS (
   SELECT {id_col},

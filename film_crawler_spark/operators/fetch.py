@@ -153,42 +153,52 @@ def fetch_drain(frontier: DataFrame, cfg: SiteConfig, pol: PolitenessConfig) -> 
     its iterations ARE the drain (T7 re-enqueue)."""
     from film_crawler_spark.operators.frontier import dequeue, remaining
 
-    # Pass bound: each pass dequeues up to budget rows per (host, kind
-    # group), so ceil(max per-host-per-group pending / its budget) passes
-    # drain everything — one tiny aggregate instead of a full count, and
-    # exact rather than the old row-count over-bound. Bucket-denied rows
-    # are NOT attempted, so remaining(pending, attempted) keeps them for
-    # the next pass automatically — unioning them back (the old code)
-    # double-enqueued them.
-    grp = F.col("page_kind").isin(*MEDIA_KINDS).cast("int")
-    mp = (
-        frontier.groupBy("host", grp.alias("_g"))
-        .count()
-        .agg(
-            F.max(
-                F.when(
-                    F.col("_g") == 1,
-                    F.ceil(F.col("count") / F.lit(max(1, pol.budget_img))),
-                ).otherwise(F.ceil(F.col("count") / F.lit(max(1, pol.budget_html))))
-            ).alias("mp")
-        )
-        .first()["mp"]
-    )
+    # Drain until pending is empty. Bucket-denied rows are NOT attempted,
+    # so remaining(pending, attempted) keeps them for the next pass
+    # automatically — unioning them back (the old code) double-enqueued
+    # them. A fixed pass bound (ceil(max per-host pending / budget), the
+    # previous form) under-budgets whenever the token bucket denies —
+    # denied rows then survived every pass and were silently dropped from
+    # the result. Termination: each pass must attempt >= 1 row (dequeue
+    # yields >= 1 per pending host and the bucket refills between passes);
+    # a zero-progress pass means the bucket and dequeue budgets have
+    # diverged irreconcilably, which is a configuration bug — raise loudly
+    # rather than spin or drop rows.
     pending, parts = frontier, []
-    for _ in range(int(mp or 0)):
+    while not pending.isEmpty():
         batch = dequeue(pending, pol.budget_html, pol.budget_img, n_salts=1)
         fetched = fetch_batch(batch, cfg, pol).localCheckpoint(eager=True)
         attempted = fetched.filter(~F.col("budget_denied"))
+        if attempted.isEmpty():
+            raise RuntimeError(
+                "fetch_drain made no progress: every dequeued row was "
+                "budget-denied (token-bucket capacity < dequeue budget?)"
+            )
         parts.append(attempted)
         pending = remaining(pending, attempted).localCheckpoint(eager=True)
-        if pending.isEmpty():
-            break
     if not parts:
         return fetch_batch(frontier.limit(0), cfg, pol)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def fetch_log_projection(fetched: DataFrame, it: int) -> DataFrame:
+    """THE body-free fetch_log schema: frontier identity + fetch outcome
+    + partition/body-length lineage, stamped with the iteration.
+
+    Single definition shared by the crawl loop and the supplement job —
+    both stage fetch_log deltas into the same log table, and read_log
+    unions their parquet, so the two writers must never drift."""
+    from film_crawler_spark.operators.frontier import FRONTIER_SCHEMA
+
+    return fetched.select(
+        *[f.name for f in FRONTIER_SCHEMA.fields],
+        "status", "n_attempts", "budget_denied",
+        F.spark_partition_id().alias("partition_id"),
+        F.length("body").alias("body_len"),
+    ).withColumn("iteration", F.lit(it))
 
 
 def split_outcomes(fetched: DataFrame, pol: PolitenessConfig) -> dict[str, DataFrame]:

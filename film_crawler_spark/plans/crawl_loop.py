@@ -36,7 +36,7 @@ from film_crawler_spark.functions.urls import canonicalize_url
 from film_crawler_spark.operators import frontier as FR
 from film_crawler_spark.operators import parse as P
 from film_crawler_spark.operators import robots as ROB
-from film_crawler_spark.operators.fetch import fetch_batch
+from film_crawler_spark.operators.fetch import fetch_batch, fetch_log_projection
 from film_crawler_spark.operators.politeness import PolitenessConfig
 from film_crawler_spark.operators.seen import BloomSeenSet, filter_unseen
 from film_crawler_spark.plans.fused_staging import stage_thin_tables as fused_stage
@@ -193,14 +193,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     # fat body cache the bookkeeping tables pay — seen delta, dead
     # letters, metrics, leftover and budget-denied rows all derive from
     # its small staged parquet instead of re-scanning gigabytes of blobs.
-    fetch_log = fetched.select(
-        "url", "canon_url", "url_hash", "shard", "host", "priority", "seq",
-        "depth", "page_kind", "tt", "rm", "nm", "vi", "ev", "co",
-        "attempts", "discovered_at_iter",
-        "status", "n_attempts", "budget_denied",
-        F.spark_partition_id().alias("partition_id"),
-        F.length("body").alias("body_len"),
-    ).withColumn("iteration", F.lit(it))
+    fetch_log = fetch_log_projection(fetched, it)
     t_fl = time.time()
     io.stage(fetch_log, "fetch_log", it)
     fetch_log_s = round(time.time() - t_fl, 2)
@@ -362,7 +355,9 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     caps_all = io.read_log("captions", upto=it - 1)
 
     def _stage_fused():
-        post_counts["thin"] = fused_stage(ok, io, it, exclude=fused_exclude)
+        post_counts["thin"] = fused_stage(
+            ok, io, it, exclude=fused_exclude, kinds_present=kinds_present
+        )
 
     def _stage_images():
         # the caption join below reads the staged captions delta, so on

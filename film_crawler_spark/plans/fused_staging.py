@@ -55,7 +55,11 @@ def _staged_schema(schema: T.StructType) -> T.StructType:
 
 
 def stage_thin_tables(
-    ok: DataFrame, io: TableIO, it: int, exclude: frozenset[str] = frozenset()
+    ok: DataFrame,
+    io: TableIO,
+    it: int,
+    exclude: frozenset[str] = frozenset(),
+    kinds_present: set[str] | None = None,
 ) -> dict[str, int]:
     """One Spark job: parse + stage every THIN_TABLES delta for
     iteration ``it``. Returns per-table staged row counts.
@@ -64,6 +68,11 @@ def stage_thin_tables(
     crawl loop's 200-status non-denied slice of the fetched cache).
     ``exclude`` skips tables the caller stages another way (captions on
     compaction iterations, where the FULL union is staged as a base).
+    ``kinds_present`` (when the caller already knows the iteration's
+    fetched page kinds) lets a media-only iteration skip the fused job
+    entirely: the pre-seeded empty shards already make every staged dir
+    readable, so scanning the multi-GB blob cache with Python workers
+    just to emit zero rows would be pure overhead.
     """
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -108,13 +117,24 @@ def stage_thin_tables(
                 if f.name != "iteration"
             ]
             cols.append(pa.array([it] * len(rows), type=pa.int32()))
-            tmp = os.path.join(dirs[table], f".part-{pid:05d}.parquet.tmp")
+            # tmp name carries the task ATTEMPT id: two live attempts of
+            # the same partition (speculation, zombie task after a
+            # driver-perceived failure) must not share a tmp path, or one
+            # can os.replace a file the other is still writing into. The
+            # final name stays partition-keyed — content is deterministic
+            # per partition, so whichever attempt publishes last wins
+            # with identical bytes.
+            att = TaskContext.get().taskAttemptId()
+            tmp = os.path.join(dirs[table], f".part-{pid:05d}-{att}.parquet.tmp")
             pq.write_table(pa.table(cols, schema=arrow_schema), tmp)
             os.replace(tmp, os.path.join(dirs[table], f"part-{pid:05d}.parquet"))
             out.append((table, len(rows)))
         yield pd.DataFrame(out, columns=["table", "rows"])
 
+    counts = {table: 0 for table in specs}
     kinds = tuple(kind_parsers)
+    if kinds_present is not None and kinds_present.isdisjoint(kinds):
+        return counts
     shard_counts = (
         ok.filter(F.col("kind").isin(*kinds))
         .mapInPandas(_run, _SUMMARY_SCHEMA)
@@ -122,6 +142,5 @@ def stage_thin_tables(
         .agg(F.sum("rows").alias("rows"))
         .collect()
     )
-    counts = {table: 0 for table in specs}
     counts.update({r["table"]: r["rows"] for r in shard_counts})
     return counts

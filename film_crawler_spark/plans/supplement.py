@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from film_crawler_spark.operators import frontier as FR
 from film_crawler_spark.operators import parse as P
-from film_crawler_spark.operators.fetch import fetch_drain
+from film_crawler_spark.operators.fetch import fetch_drain, fetch_log_projection
 from film_crawler_spark.plans.crawl_loop import CrawlConfig
 from film_crawler_spark.sources.tableio import TableIO
 
@@ -109,16 +109,24 @@ def run_supplement(
         summary["news_new"] = spark.read.parquet(io._tdir("news", it)).count()
 
     # body-free lineage of the re-fetch, same shape as the crawl's
-    # fetch_log. The URLs are already in the seen set, so no seen delta.
-    supp_log = fetched.select(
-        *frontier_cols, "status", "n_attempts", "budget_denied",
-        F.spark_partition_id().alias("partition_id"),
-        F.length("body").alias("body_len"),
-    ).withColumn("iteration", F.lit(it))
+    # fetch_log (shared projection — the two writers must never drift).
+    # The URLs are already in the seen set, so no seen delta.
+    supp_log = fetch_log_projection(fetched, it)
     io.stage(supp_log, "fetch_log", it)
     staged.append("fetch_log")
 
     summary["refetched"] = supp_log.count()
     summary["wall_s"] = round(time.time() - t0, 3)
+    # carry the crawl's manifest hint chain forward: a resumed
+    # run_iteration(it+1) reads THIS summary for its seen/pending/robots
+    # hints — dropping them would read seen_total=0, silently disable
+    # bloom maintenance, and leave a stale bloom snapshot that re-admits
+    # already-fetched URLs (a T7 exactly-once violation). The supplement
+    # re-fetches only already-seen URLs and stages no frontier, so the
+    # previous values pass through unchanged.
+    prev = io.manifest(last).get("summary", {})
+    for key in ("seen_total", "pending_next", "init_seeds", "n_robots"):
+        if key in prev:
+            summary[key] = prev[key]
     io.commit(it, staged, extra={"summary": summary, "supplement": True})
     return summary

@@ -533,7 +533,7 @@ def q_ngram_jaccard_pairs(spark, sf):
 SQL_NGRAM_JACCARD_PAIRS = r"""
 WITH w AS (
   SELECT doc_id, source,
-         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS words
+         string_split(regexp_replace(trim(lower(coalesce(text, ''))), '\s+', ' ', 'g'), ' ') AS words
   FROM documents),
 sh AS (
   SELECT doc_id, source,

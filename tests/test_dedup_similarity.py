@@ -50,6 +50,38 @@ def test_minhash_lsh_jaccards_are_exact(spark, docs):
         assert exact[(r["id_a"], r["id_b"])] == r["jaccard"]
 
 
+def test_minhash_null_text_matches_oracle(spark):
+    """NULL text is empty text on BOTH engines: without the shared
+    coalesce rule, Spark's shingle path gives NULL-text docs a
+    config-dependent signature while the DuckDB oracle's unnest(NULL)
+    drops them entirely — a silent oracle-parity break the sf0.01
+    testdata (no NULLs) never exercises."""
+    import duckdb
+
+    rows = [
+        (0, None, "s"),
+        (1, None, "s"),
+        (2, "", "s"),
+        (3, "totally distinct words here about nothing in particular at all", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["id_a"], r["id_b"], float(r["jaccard"]))
+        for r in D.minhash_lsh_dups(docs, jaccard_threshold=0.4).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {
+        (a, b, float(j))
+        for a, b, j in con.sql(
+            D.minhash_oracle_sql("documents", jaccard_threshold=0.4)
+        ).fetchall()
+    }
+    assert got == want
+    assert (0, 1, 1.0) in got  # NULL-text docs pair deterministically
+    assert (0, 2, 1.0) in got  # NULL == ''
+
+
 def test_minhash_lsh_recall_on_testdata(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     exact = {

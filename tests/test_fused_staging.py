@@ -115,6 +115,25 @@ def test_empty_kind_tables_readable(spark, tmp_path, ok_frame):
         assert "iteration" in df.columns
 
 
+def test_media_only_iteration_skips_fused_job(spark, tmp_path, ok_frame):
+    """kinds_present disjoint from every thin source kind (a media-only
+    iteration) must not scan the fetched cache at all: the pre-seeded
+    empties alone make every staged dir readable. The input frame is
+    poisoned so any Spark action over it fails — the test passes only
+    when no job runs."""
+    io = TableIO(spark, str(tmp_path / "wh"))
+    poison = ok_frame.filter(F.assert_true(F.lit(False)).isNull())
+    counts = stage_thin_tables(
+        poison, io, it=1, kinds_present={"image_blob", "video_blob"}
+    )
+    assert set(counts) == set(P.THIN_TABLES)
+    assert all(v == 0 for v in counts.values())
+    for table in P.THIN_TABLES:
+        df = spark.read.parquet(io._tdir(table, 1))
+        assert df.count() == 0
+        assert "iteration" in df.columns
+
+
 def test_restage_is_idempotent(spark, tmp_path, ok_frame):
     io = TableIO(spark, str(tmp_path / "wh"))
     a = stage_thin_tables(ok_frame, io, it=3)

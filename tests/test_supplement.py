@@ -56,7 +56,15 @@ def test_supplement_appends_exactly_new_children(spark, warehouse):
 
     grown = dataclasses.replace(SITE, supplement_extra=EXTRA)
     cfg = CrawlConfig(warehouse=warehouse, site=grown, politeness=POL)
+    crawl_summary = io.manifest(io.last_committed())["summary"]
     s = run_supplement(spark, cfg)
+    # the manifest hint chain must survive a supplement commit: a resumed
+    # run_iteration reads seen_total/pending_next/n_robots from the LAST
+    # summary — dropping them silently disables (then stales) bloom
+    # maintenance, a T7 exactly-once violation
+    supp_summary = io.manifest(io.last_committed())["summary"]
+    for key in ("seen_total", "pending_next", "n_robots"):
+        assert supp_summary[key] == crawl_summary[key], key
     assert s["reviews_new"] == EXTRA * ok_pages["reviews"]
     assert s["news_new"] == EXTRA * ok_pages["news"]
 
