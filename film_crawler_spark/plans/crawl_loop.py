@@ -176,28 +176,36 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     # shuffle, no ordering semantics (fetch order lineage lives in the
     # seq/priority columns, not physical row order).
     fetched = fetch_batch(dequeued, cfg.site, pol).sortWithinPartitions("page_kind").persist()
-    # materialize the cache EAGERLY (and take the summary counts in the
-    # same job): the staging fan-out below runs ~12 concurrent jobs that
-    # all consume this cache — launched cold, they convoy on the
-    # per-partition cache locks while the first one computes
-    counts = fetched.agg(
-        F.count("*").alias("n"),
-        F.count(F.when(F.col("status") == 200, 1)).alias("n_ok"),
-    ).collect()[0]
-    n_fetched, n_ok = counts["n"], counts["n_ok"]
+    # fetch_log: every non-body column + partition id + body length. It
+    # is staged FIRST, synchronously, and in the SAME job that executes
+    # the fetch and materializes the cache: the write scans `fetched`
+    # through the persist, so one job pays fetch + cache fill + the
+    # body-free projection. (Previously a separate eager agg materialized
+    # the cache and a second pass projected it into fetch_log — two
+    # sequential full scans of the fat body cache per iteration, a
+    # measured share of the per-iteration driver floor.) The eager
+    # materialization matters because the staging fan-out below runs ~8
+    # concurrent jobs that all consume this cache — launched cold, they
+    # convoy on the per-partition cache locks while the first computes.
+    # Every bookkeeping count (fetched/ok/kinds, seen delta, dead
+    # letters, metrics, leftover) then derives from the small staged
+    # parquet instead of re-scanning gigabytes of blobs.
+    t_fl = time.time()
+    io.stage(fetch_log_projection(fetched, it), "fetch_log", it)
+    fetch_log_s = round(time.time() - t_fl, 2)
     t_fetch = round(time.time() - t0, 2)
     ok = fetched.filter((~F.col("budget_denied")) & (F.col("status") == 200))
 
-    # fetch_log: every non-body column + partition id + body length. It
-    # is staged FIRST, synchronously: this is the single full scan of the
-    # fat body cache the bookkeeping tables pay — seen delta, dead
-    # letters, metrics, leftover and budget-denied rows all derive from
-    # its small staged parquet instead of re-scanning gigabytes of blobs.
-    fetch_log = fetch_log_projection(fetched, it)
-    t_fl = time.time()
-    io.stage(fetch_log, "fetch_log", it)
-    fetch_log_s = round(time.time() - t_fl, 2)
     flog = spark.read.parquet(io._tdir("fetch_log", it))
+    # one tiny agg over the staged body-free parquet replaces BOTH the
+    # old fat-cache count job and the later kinds_present distinct job
+    stats = flog.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("status") == 200, 1)).alias("n_ok"),
+        F.collect_set(F.when(F.col("status") == 200, F.col("page_kind"))).alias("kinds"),
+    ).collect()[0]
+    n_fetched, n_ok = stats["n"], stats["n_ok"]
+    kinds_present = set(stats["kinds"])
     attempted = flog.filter(~F.col("budget_denied"))
 
     # --- parse + discover (persisted: robots staging, robots_denied and
@@ -212,20 +220,23 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         .select(*[f.name for f in FR.FRONTIER_SCHEMA.fields])
         .persist()
     )
-    t1 = time.time()
-    discovered_all.count()  # same eager-materialization rationale as fetched
-    t_discover = round(time.time() - t1, 2)
 
     # --- robots filter: grow the per-host cache, drop disallowed URLs.
     # The cache is persisted + materialized because it appears as a
     # broadcast subplan (with a Python robots-fetch stage) inside SEVERAL
     # staging jobs — broadcast exchanges are not reused across jobs, so
     # an unmaterialized cache would re-run that subplan per consumer.
+    # Its count doubles as the eager materialization of discovered_all:
+    # update_robots_cache's host-distinct scans every discovered
+    # partition through the persist, so the separate discovered count
+    # job (one more sequential barrier per iteration) is not needed.
+    t1 = time.time()
     robots_prev = io.read_snapshot("robots", upto=it - 1)
     robots_cache = ROB.update_robots_cache(
         robots_prev, discovered_all.select("host"), cfg.site
     ).persist()
     n_robots = robots_cache.count()
+    t_discover = round(time.time() - t1, 2)
     # re-stage the robots cache only when a fetch for a NEW host happened
     # (host count grew). After the first few waves the host set is fixed,
     # and skipping the write drops one Spark job per iteration; readers
@@ -278,13 +289,10 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     # empty DataFrame — its parquet write is a trivial job that never
     # touches the fat fetched cache or spawns Python workers. The kind
     # set derives from the committed fetch_log, so resume replays the
-    # same choices; the staged bytes are identical either way. (The 14
-    # THIN text tables no longer go through this at all — one fused
+    # same choices (kinds_present came from the staged fetch_log's agg
+    # above); the staged bytes are identical either way. (The 14 THIN
+    # text tables no longer go through this at all — one fused
     # single-pass job stages them together, see plans/fused_staging.py.)
-    kinds_present = {
-        r["page_kind"]
-        for r in flog.filter(F.col("status") == 200).select("page_kind").distinct().collect()
-    }
     empties: set[str] = set()
 
     def _maybe(df: DataFrame, table: str, *source_kinds: str) -> DataFrame:
@@ -364,9 +372,6 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         # non-compaction iterations wait for the fused pass to land it
         if not do_compact:
             fused_future.result()
-        t_r = time.time()
-        _stage(renditions, "renditions")
-        stage_s["renditions"] = round(time.time() - t_r, 2)
         # flagship images table (input_hint shape): ori rendition +
         # caption. Captions parse one depth earlier, so by blob-fetch time
         # the caption is committed (or in this very iteration's delta).
@@ -432,6 +437,12 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         ("seen", lambda: io.stage(all_seen if do_compact else seen_delta, "seen", it)),
         *([("captions", lambda: io.stage(caps_base, "captions", it))] if do_compact else []),
         ("video_files", lambda: _stage(video_files, "video_files")),
+        # independent of the caption-join chain: decode already happened
+        # in the fetch pass, so renditions is a pure projection of the
+        # hot cache — staging it CONCURRENTLY with images shortens a
+        # media iteration's critical path from fused+renditions+images
+        # to max(renditions, fused+images)
+        ("renditions", lambda: _stage(renditions, "renditions")),
         ("dead_letter", lambda: io.stage(
             dead.withColumn("iteration", F.lit(it)), "dead_letter", it)),
         ("metrics", lambda: io.stage(metrics, "metrics", it)),
