@@ -32,14 +32,16 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# 6000 seeds in the round-2 world expand to ~530k pages + ~590k image
-# blobs (the entity graph grew ~4x vs round 1: 18 sections, news/ratings/
-# videos, persons, events, companies per title). The crawl drains in ~4
-# BFS waves regardless of seed count, so a fatter seed list amortizes the
-# fixed per-iteration planning/staging cost and the ratio measures the
-# engine's scalable work (profiled: the fetch stage alone scales at ~0.95
-# from 2 to 8 cores).
-CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_SEEDS", "6000"))
+# Seed count budgets the OFFICIAL bench to the driver's time window.
+# Round 3's bench timed out (BENCH_r03.json rc=124): the entity graph
+# grew ~1.55x (nm photo/news/video crawls) and 6000 seeds -> ~816k pages
+# made the 2-core leg alone ~2100s x best-of-2. Both legs crawl the SAME
+# seed list and the SAME fixed politeness budget, so the N->4N efficiency
+# ratio is seed-count-independent (verified: 0.945 at 6000 seeds round 2,
+# same ratio at the calibration runs below); the smaller default only
+# shortens the wall. 1200 seeds -> ~163k pages + ~180k image blobs:
+# 2-core leg ~430s, total bench comfortably < 2000s.
+CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_SEEDS", "1200"))
 # Warehouses live on tmpfs when available: parquet blob writes through
 # ONE shared box disk are the only non-scaling stage of a media wave
 # (measured flat ~10 s at 2 and at 8 cores) — on a real cluster the
@@ -102,6 +104,7 @@ def log(msg: str) -> None:
 
 
 def run_query_suite(sf_dir: str, cpus: int) -> dict:
+    from film_crawler_spark.operators.caching import cache_scope
     from film_crawler_spark.queries import REGISTRY
     from film_crawler_spark.session import get_spark
 
@@ -119,28 +122,37 @@ def run_query_suite(sf_dir: str, cpus: int) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
-    # one warmup to exclude JVM/Arrow spin-up from the first query's time
-    spark.range(1000).selectExpr("sum(id)").collect()
-    # best of 2: this sandbox's snapshot-backed memory makes the FIRST
-    # execution of a query pay one-time page-fault warmup in each Python
-    # worker (0.2-1 ms per 4K page on first touch, ~2x swings run to
-    # run). The second run measures steady-state engine cost, which is
-    # what scales; both runs compute the full result through the noop
-    # sink.
-    for name, (fn, _sql) in REGISTRY.items():
-        best = None
-        for _ in range(2):
-            t0 = time.time()
+
+    def _run(name: str) -> float:
+        # every query runs inside a cache_scope: the dedup/similarity
+        # operators pin intermediates (shared by several plan branches
+        # within one action) that must survive until the noop sink
+        # completes — the scope releases them the moment it ends, and the
+        # assertion below proves NOTHING stays cached between queries
+        # (round-2 wart 3, now enforced in the bench hot path)
+        fn = REGISTRY[name][0]
+        t0 = time.time()
+        with cache_scope():
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+        dt = time.time() - t0
+        n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert n_cached == 0, f"{name} leaked {n_cached} cached RDDs"
+        return dt
+
+    # Timing protocol (round-3 driver timings drifted +15-75% on identical
+    # code because the suite started cold after machine idle — the same
+    # snapshot-backed page-fault storm the crawl legs warm away): one
+    # UNTIMED full pass over the registry first (touches every input
+    # table, spins every Python worker, faults the working set in), then
+    # timed best-of-2 per query. Effectively best-of-3 with the cold pass
+    # discarded.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    log("[bench] query-suite warmup pass (untimed)...")
+    for name in REGISTRY:
+        _run(name)
+    for name in REGISTRY:
+        timings[name] = round(min(_run(name) for _ in range(2)), 3)
         log(f"[bench] {name}: {timings[name]}s")
-        # the dedup/similarity operators persist() intermediates (shared
-        # by several plan branches within one action) that outlive the
-        # query; left in place across a 30+-query suite they accumulate
-        # into storage-memory pressure that slows later queries
-        spark.catalog.clearCache()
     spark.stop()
     return timings
 

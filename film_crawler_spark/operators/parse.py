@@ -527,8 +527,26 @@ RATINGS_SCHEMA = T.StructType(
         T.StructField("median", T.StringType()),
         T.StructField("rating_by_demographic", T.MapType(T.StringType(), T.StringType())),
         T.StructField("rating_by_users", T.StringType()),
+        # time-series column: the reference's ratings.csv carries a
+        # time_stamp and APPENDS on re-crawl (spiders.py:4941-4959, 5037)
+        # so repeated runs build a rating history per title
+        T.StructField("fetched_at", T.StringType()),
     ]
 )
+
+
+def synthetic_fetch_time(iteration: int) -> str:
+    """Deterministic twin of the reference's ratings ``time_stamp``
+    (spiders.py:5037 ``time.strftime``): wall time would break the
+    replay/resume contract (byte-identical tables on re-run), so the
+    synthetic crawl clock maps iteration ``i`` to day ``i`` of a fixed
+    epoch. A second supplement pass runs at a later iteration, hence a
+    later timestamp — the same "rating history per title" semantics."""
+    from datetime import datetime, timedelta
+
+    return (datetime(2020, 1, 1) + timedelta(days=iteration)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
 
 PSECTION_SCHEMA = T.StructType(
     [T.StructField("nm", T.StringType()), T.StructField("section", T.StringType()),
@@ -680,7 +698,11 @@ extract_news = _thin_extractor("news", _rows_news, NEWS_SCHEMA)
 def _rows_ratings(r, body):
     """getRatings twin (reference spiders.py:4962-5040): the 3 rating
     tables + the demographics grid as a MapType column (SURVEY §1.2's
-    nested-data modernization of the reference's dict-literal string)."""
+    nested-data modernization of the reference's dict-literal string).
+    ``r.fetched_at`` is the iteration-derived synthetic timestamp the
+    crawl/supplement stamps on the fetched frame (the reference's
+    time_stamp column, spiders.py:5037) — ratings is a re-crawlable
+    time-series, so every parse carries its fetch time."""
     head = _RE_RATINGS_HEAD.search(body)
     if not head:
         return []
@@ -701,6 +723,7 @@ def _rows_ratings(r, body):
             statics.group(2) if statics else None,
             demo,
             by_users.group(1) if by_users else None,
+            r.fetched_at,
         )
     ]
 

@@ -194,7 +194,12 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     io.stage(fetch_log_projection(fetched, it), "fetch_log", it)
     fetch_log_s = round(time.time() - t_fl, 2)
     t_fetch = round(time.time() - t0, 2)
-    ok = fetched.filter((~F.col("budget_denied")) & (F.col("status") == 200))
+    # fetched_at: iteration-derived synthetic timestamp (constant literal,
+    # no per-row cost) — the ratings parser emits it as the reference's
+    # re-crawlable time_stamp column (spiders.py:5037)
+    ok = fetched.filter((~F.col("budget_denied")) & (F.col("status") == 200)).withColumn(
+        "fetched_at", F.lit(P.synthetic_fetch_time(it))
+    )
 
     flog = spark.read.parquet(io._tdir("fetch_log", it))
     # one tiny agg over the staged body-free parquet replaces BOTH the

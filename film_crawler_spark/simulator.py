@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 
 from film_crawler_spark.functions.urls import canonicalize_url, n_pages, ori_url, url_host
 from film_crawler_spark.operators.frontier import child_seq, seed_seq
+from film_crawler_spark.operators.parse import synthetic_fetch_time
 from film_crawler_spark.operators.politeness import PolitenessConfig
 from film_crawler_spark.sources.synthetic_site import (
     MEDIA_KINDS, PER_PAGE, PER_PAGE_CO, PER_PAGE_HIST, PER_PAGE_VIDEO,
@@ -120,7 +121,7 @@ def simulate(
     companies: dict = {}
     company_films: dict = {}
 
-    for _ in range(max_iterations):
+    for sim_it in range(max_iterations):
         if not pending:
             break
         # --- dequeue: per-host top-B by (priority, seq), per-kind budget ---
@@ -195,7 +196,13 @@ def simulate(
                     owner = r.tt or r.nm
                     news[owner] = site.news_rows(owner)  # oldest-first (O5)
                 elif res.kind == "ratings":
-                    ratings[r.tt] = site.ratings_fields(r.tt)
+                    # fetched_at: the engine stamps ratings rows with the
+                    # iteration-derived synthetic clock (time-series K2);
+                    # the sim's loop index IS the engine iteration number
+                    ratings[r.tt] = {
+                        **site.ratings_fields(r.tt),
+                        "fetched_at": synthetic_fetch_time(sim_it),
+                    }
                 elif res.kind == "videogallery":
                     owner = r.tt or r.nm
                     pm = re.search(r"data-page='(\d+)'", res.text)

@@ -35,6 +35,13 @@ def main() -> None:
              "(the reference's remain.csv replay, main.py:95-115) instead "
              "of seeding a crawl",
     )
+    ap.add_argument(
+        "--supplement", default=None, metavar="KINDS",
+        help="comma-separated page kinds to re-crawl over an existing "
+             "warehouse: reviews,news (append-only-new-children, the "
+             "reference's main_supplement_*) and/or ratings (time-series "
+             "append, the re-runnable main_ratingsIMDB)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -72,6 +79,14 @@ def main() -> None:
         max_iterations=args.max_iterations,
         reverse_seeds=not args.no_reverse,
     )
+    if args.supplement:
+        from film_crawler_spark.plans.supplement import run_supplement
+
+        kinds = tuple(k.strip() for k in args.supplement.split(",") if k.strip())
+        res = run_supplement(spark, cfg, kinds=kinds)
+        print(json.dumps(res))
+        spark.stop()
+        return
     if args.repair:
         from film_crawler_spark.plans.repair import run_repair
 

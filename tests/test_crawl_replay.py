@@ -243,6 +243,9 @@ def test_ratings_match_ground_truth(crawled, sim):
         assert r["median"] == f["median"]
         assert dict(r["rating_by_demographic"]) == f["demo"]
         assert r["rating_by_users"] == f["by_users"]
+        # K2 time-series column: iteration-derived synthetic time_stamp
+        # (reference spiders.py:5037), replayed exactly by the simulator
+        assert r["fetched_at"] == f["fetched_at"]
 
 
 def test_psections_match_ground_truth(crawled, sim):

@@ -34,15 +34,20 @@ OK_SCHEMA = T.StructType(
         T.StructField("vi", T.StringType()),
         T.StructField("ev", T.StringType()),
         T.StructField("co", T.StringType()),
+        # the crawl loop stamps the fetched frame with the iteration's
+        # synthetic timestamp; the ratings parser reads it (K2)
+        T.StructField("fetched_at", T.StringType()),
     ]
 )
+
+FETCHED_AT = P.synthetic_fetch_time(7)
 
 
 def _row(url, *, tt=None, rm=None, nm=None, vi=None, ev=None, co=None):
     res = SITE.fetch(url, attempt=10)  # attempt 10 heals flaky 500s
     if res.status != 200 or not res.text:
         return None
-    return (res.kind, res.text.encode(), tt, rm, nm, vi, ev, co)
+    return (res.kind, res.text.encode(), tt, rm, nm, vi, ev, co, FETCHED_AT)
 
 
 @pytest.fixture(scope="module")
