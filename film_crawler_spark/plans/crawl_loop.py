@@ -29,7 +29,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from film_crawler_spark.functions.urls import canonicalize_url
@@ -175,7 +175,17 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     # ~15 x the blob bytes of redundant cache traffic. Narrow op: no
     # shuffle, no ordering semantics (fetch order lineage lives in the
     # seq/priority columns, not physical row order).
-    fetched = fetch_batch(dequeued, cfg.site, pol).sortWithinPartitions("page_kind").persist()
+    # fetch task granularity from the driver-side pending hint: big waves
+    # get 4 tasks/core (straggler-free packing of the html+media union and
+    # of every later scan of this cache), thin ones 1/core (finer would
+    # just add near-empty task scheduling) — see fetch_batch's docstring.
+    dp = spark.sparkContext.defaultParallelism
+    fetch_parallelism = 4 * dp if pending_hint >= 20_000 else dp
+    fetched = (
+        fetch_batch(dequeued, cfg.site, pol, media_parallelism=fetch_parallelism)
+        .sortWithinPartitions("page_kind")
+        .persist()
+    )
     # fetch_log: every non-body column + partition id + body length. It
     # is staged FIRST, synchronously, and in the SAME job that executes
     # the fetch and materializes the cache: the write scans `fetched`
@@ -191,7 +201,24 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     # letters, metrics, leftover) then derives from the small staged
     # parquet instead of re-scanning gigabytes of blobs.
     t_fl = time.time()
-    io.stage(fetch_log_projection(fetched, it), "fetch_log", it)
+    # the iteration's bookkeeping scalars (fetched/ok/kinds-present) ride
+    # the fetch_log staging action itself as an Observation — previously
+    # a separate agg job over the staged parquet, i.e. one more serial
+    # driver barrier in every iteration's critical path
+    flog_obs = Observation(f"flog_{it}")
+    io.stage(
+        fetch_log_projection(fetched, it).observe(
+            flog_obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("status") == 200, 1)).alias("n_ok"),
+            F.collect_set(
+                F.when(F.col("status") == 200, F.col("page_kind"))
+            ).alias("kinds"),
+        ),
+        "fetch_log",
+        it,
+    )
+    stats = flog_obs.get
     fetch_log_s = round(time.time() - t_fl, 2)
     t_fetch = round(time.time() - t0, 2)
     # fetched_at: iteration-derived synthetic timestamp (constant literal,
@@ -202,13 +229,6 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     )
 
     flog = spark.read.parquet(io._tdir("fetch_log", it))
-    # one tiny agg over the staged body-free parquet replaces BOTH the
-    # old fat-cache count job and the later kinds_present distinct job
-    stats = flog.agg(
-        F.count("*").alias("n"),
-        F.count(F.when(F.col("status") == 200, 1)).alias("n_ok"),
-        F.collect_set(F.when(F.col("status") == 200, F.col("page_kind"))).alias("kinds"),
-    ).collect()[0]
     n_fetched, n_ok = stats["n"], stats["n_ok"]
     kinds_present = set(stats["kinds"])
     attempted = flog.filter(~F.col("budget_denied"))
@@ -235,20 +255,29 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     # update_robots_cache's host-distinct scans every discovered
     # partition through the persist, so the separate discovered count
     # job (one more sequential barrier per iteration) is not needed.
-    t1 = time.time()
+    # The count itself runs INSIDE the staging pool (``_discover`` below)
+    # so it overlaps with the flog-derived staging jobs instead of being
+    # a serial barrier between fetch and staging; only the three robots-
+    # dependent stages (frontier, robots, robots_denied) wait on it.
     robots_prev = io.read_snapshot("robots", upto=it - 1)
     robots_cache = ROB.update_robots_cache(
         robots_prev, discovered_all.select("host"), cfg.site
     ).persist()
-    n_robots = robots_cache.count()
-    t_discover = round(time.time() - t1, 2)
-    # re-stage the robots cache only when a fetch for a NEW host happened
-    # (host count grew). After the first few waves the host set is fixed,
-    # and skipping the write drops one Spark job per iteration; readers
-    # fall back to the last committed robots snapshot because the commit
-    # manifest below lists only tables actually staged this iteration.
-    stage_robots = n_robots != prev.get("n_robots")
     discovered, robots_denied = ROB.split_by_robots(discovered_all, robots_cache)
+
+    disc_info: dict = {}
+
+    def _discover():
+        t = time.time()
+        disc_info["n_robots"] = robots_cache.count()
+        # re-stage the robots cache only when a fetch for a NEW host
+        # happened (host count grew). After the first few waves the host
+        # set is fixed, and skipping the write drops one Spark job per
+        # iteration; readers fall back to the last committed robots
+        # snapshot because the commit manifest below lists only tables
+        # actually staged this iteration.
+        disc_info["stage_robots"] = disc_info["n_robots"] != prev.get("n_robots")
+        disc_info["discover_s"] = round(time.time() - t, 2)
 
     # --- seen filter: committed seen + this iteration's attempts + pending
     # (exactly-once enqueue, T7). seen_delta/dead/metrics/leftover all
@@ -423,8 +452,23 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         post_counts["images"] = spark.read.parquet(io._tdir("images", it)).count()
 
     def _stage_frontier():
+        # next_pending's new_rows branch reads the robots-filtered
+        # discoveries — wait for their materialization (pool task below)
+        discover_future.result()
         io.stage(next_pending, "frontier", it)
         post_counts["pending_next"] = spark.read.parquet(io._tdir("frontier", it)).count()
+
+    def _stage_robots_tables():
+        discover_future.result()
+        if disc_info["stage_robots"]:
+            io.stage(robots_cache, "robots", it)
+        io.stage(
+            robots_denied.select("canon_url", "host", "page_kind").withColumn(
+                "iteration", F.lit(it)
+            ),
+            "robots_denied",
+            it,
+        )
 
     if do_compact:
         # captions full-union base: committed log + this iteration's
@@ -451,14 +495,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         ("dead_letter", lambda: io.stage(
             dead.withColumn("iteration", F.lit(it)), "dead_letter", it)),
         ("metrics", lambda: io.stage(metrics, "metrics", it)),
-        *([("robots", lambda: io.stage(robots_cache, "robots", it))] if stage_robots else []),
-        ("robots_denied", lambda: io.stage(
-            robots_denied.select("canon_url", "host", "page_kind").withColumn(
-                "iteration", F.lit(it)
-            ),
-            "robots_denied",
-            it,
-        )),
+        ("robots_tables", _stage_robots_tables),
         ("images", _stage_images),
     ]
     if maintain_bloom:
@@ -477,12 +514,15 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         fn()
         stage_s[name] = round(time.time() - t, 2)
 
-    with ThreadPoolExecutor(max_workers=len(jobs) + 1) as pool:
+    with ThreadPoolExecutor(max_workers=len(jobs) + 2) as pool:
         # the fused pass goes in FIRST: it is the one full scan of the
-        # fat body cache, and the images job blocks on it (caption join)
+        # fat body cache, and the images job blocks on it (caption join).
+        # discover goes in next: frontier/robots_tables block on it, while
+        # the flog-derived stages (seen/metrics/dead_letter/...) overlap.
         fused_future = pool.submit(_timed, "thin_fused", _stage_fused)
+        discover_future = pool.submit(_discover)
         futures = [pool.submit(_timed, name, fn) for name, fn in jobs]
-        for f in [fused_future, *futures]:
+        for f in [fused_future, discover_future, *futures]:
             f.result()  # propagate failures before commit
 
     fetched.unpersist()
@@ -496,10 +536,10 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         "pending_next": n_pending_next,
         "images": n_images,
         "seen_total": seen_hint + n_fetched,
-        "n_robots": n_robots,
+        "n_robots": disc_info["n_robots"],
         "wall_s": round(time.time() - t0, 3),
         "fetch_s": t_fetch,
-        "discover_s": t_discover,
+        "discover_s": disc_info["discover_s"],
         "stage_s": stage_s,
         "staged_rows": post_counts.get("thin", {}),
     }
@@ -507,7 +547,7 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     if do_compact:
         extra["bases"] = {"seen": it, "captions": it}
     committed_tables = [
-        t for t in RESULT_TABLES if t != "robots" or stage_robots
+        t for t in RESULT_TABLES if t != "robots" or disc_info["stage_robots"]
     ]
     io.commit(it, committed_tables, extra=extra)
     return summary
