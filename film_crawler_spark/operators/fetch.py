@@ -142,7 +142,13 @@ def fetch_batch(
         .repartition(media_parallelism, "canon_url")
         .mapInPandas(_make_runner(False, pol.retry_cap_media), schema)
     )
-    return html.unionByName(media)
+    # media FIRST: tasks launch in partition-index order, so the fat
+    # blob-decode tasks start while the small html tasks backfill the
+    # stage's tail (longest-processing-time-first packing). With html
+    # first, the last wave was all media — one 2-3x-skewed blob task
+    # left the other cores idle behind it (measured: maxT 19.5 s vs
+    # 8.5 s mean on a mixed wave at local[8], stage_profile).
+    return media.unionByName(html)
 
 
 def fetch_drain(frontier: DataFrame, cfg: SiteConfig, pol: PolitenessConfig) -> DataFrame:

@@ -236,8 +236,14 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     # --- parse + discover (persisted: robots staging, robots_denied and
     # the frontier write all consume it — without the persist the
     # mapInPandas discovery pass and its dedup window re-run per consumer)
+    # coalesce(dp) before the Python stage: the fetched cache carries
+    # 4 tasks/core for fetch-wave packing, but a PYTHON consumer at that
+    # granularity pays 4x the worker round-trips for the same rows
+    # (measured: the discovery count stage grew 8.3 -> 19.4 core-s from
+    # local[2] to local[8] on identical input, timeline_profile). One
+    # task per core keeps every core busy for exactly one wave.
     discovered_all = (
-        _dedup_discovered(P.discover_links(ok))
+        _dedup_discovered(P.discover_links(ok.coalesce(dp)))
         .withColumn("url_hash", F.xxhash64("canon_url"))
         .withColumn("shard", bloom_set.shard_col(F.col("canon_url")))
         .withColumn("attempts", F.lit(0))
@@ -398,7 +404,8 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
 
     def _stage_fused():
         post_counts["thin"] = fused_stage(
-            ok, io, it, exclude=fused_exclude, kinds_present=kinds_present
+            ok, io, it, exclude=fused_exclude, kinds_present=kinds_present,
+            parallelism=dp,
         )
 
     def _stage_images():

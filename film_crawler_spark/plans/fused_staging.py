@@ -60,6 +60,7 @@ def stage_thin_tables(
     it: int,
     exclude: frozenset[str] = frozenset(),
     kinds_present: set[str] | None = None,
+    parallelism: int | None = None,
 ) -> dict[str, int]:
     """One Spark job: parse + stage every THIN_TABLES delta for
     iteration ``it``. Returns per-table staged row counts.
@@ -73,6 +74,10 @@ def stage_thin_tables(
     entirely: the pre-seeded empty shards already make every staged dir
     readable, so scanning the multi-GB blob cache with Python workers
     just to emit zero rows would be pure overhead.
+    ``parallelism`` coalesces the scan before the Python stage — the
+    fetched cache is partitioned at 4 tasks/core for fetch-wave packing,
+    but a Python parse pass at that granularity pays 4x the worker
+    round-trips for the same rows (crawl_loop passes one task per core).
     """
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -135,9 +140,11 @@ def stage_thin_tables(
     kinds = tuple(kind_parsers)
     if kinds_present is not None and kinds_present.isdisjoint(kinds):
         return counts
+    src = ok.filter(F.col("kind").isin(*kinds))
+    if parallelism:
+        src = src.coalesce(parallelism)
     shard_counts = (
-        ok.filter(F.col("kind").isin(*kinds))
-        .mapInPandas(_run, _SUMMARY_SCHEMA)
+        src.mapInPandas(_run, _SUMMARY_SCHEMA)
         .groupBy("table")
         .agg(F.sum("rows").alias("rows"))
         .collect()

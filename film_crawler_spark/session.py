@@ -36,6 +36,20 @@ def engine_conf(shuffle_partitions: int | str = "32") -> dict[str, str]:
     # driver env too (harmless on a real cluster)
     for k, v in BLAS_PINNING.items():
         os.environ.setdefault(k, v)
+    # Warm worker daemon (daemon_warm docstring): workers fork with
+    # pandas/pyarrow already imported, so worker-pool churn under the
+    # crawl's concurrent staging jobs costs a fork, not an import storm.
+    # The repo root rides PYTHONPATH so the daemon module resolves in
+    # executor-side processes (PythonWorkerFactory merges the system
+    # PYTHONPATH + spark.executorEnv.PYTHONPATH into the worker env).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + py_path if py_path else "")
+        )
+    conf["spark.executorEnv.PYTHONPATH"] = os.environ["PYTHONPATH"]
+    conf["spark.python.daemon.module"] = "film_crawler_spark.daemon_warm"
     conf.update({
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "true"),
@@ -119,7 +133,10 @@ def warmup(spark: SparkSession) -> None:
     fresh local JVM the first Python stage otherwise pays worker fork +
     pandas import once per core, which belongs to environment spin-up,
     not to crawl throughput (bench calls this before starting its clock,
-    like the query-suite warmup)."""
+    like the query-suite warmup). Worker-pool CHURN (concurrent staging
+    jobs forking extra workers mid-iteration) is handled at the root by
+    the warm daemon module (``daemon_warm``, see engine_conf): a freshly
+    forked worker inherits the heavy imports from the daemon process."""
     n = spark.sparkContext.defaultParallelism
 
     def _noop(batches):
