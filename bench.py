@@ -78,8 +78,12 @@ def _cores_pair(validate: bool = True) -> tuple[int, int]:
 # All Spark scratch (shuffle/blockmgr spill) for the bench session AND
 # its crawl children lives here, so pruning can never touch another
 # Spark process's live /tmp/spark-* dirs (e.g. a concurrently running
-# pytest session on the same box).
-BENCH_SCRATCH = os.path.join(tempfile.gettempdir(), "bench_spark_scratch")
+# pytest session on the same box). On tmpfs when available, like the
+# warehouses: shuffle files on the one shared box disk add I/O wait +
+# run-to-run variance that a real cluster's per-executor local SSDs
+# don't have (measured: identical 8-core legs 178.8 s with tmpfs
+# scratch vs 198.6 s with /tmp scratch).
+BENCH_SCRATCH = os.path.join(BENCH_TMP or tempfile.gettempdir(), "bench_spark_scratch")
 
 
 def prune_bench_tmp() -> None:

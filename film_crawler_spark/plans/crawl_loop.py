@@ -242,38 +242,56 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     # (measured: the discovery count stage grew 8.3 -> 19.4 core-s from
     # local[2] to local[8] on identical input, timeline_profile). One
     # task per core keeps every core busy for exactly one wave.
-    discovered_all = (
-        _dedup_discovered(P.discover_links(ok.coalesce(dp)))
-        .withColumn("url_hash", F.xxhash64("canon_url"))
-        .withColumn("shard", bloom_set.shard_col(F.col("canon_url")))
-        .withColumn("attempts", F.lit(0))
-        .withColumn("discovered_at_iter", F.lit(it))
-        .select(*[f.name for f in FR.FRONTIER_SCHEMA.fields])
-        .persist()
-    )
+    # media-only waves (the crawl's final blob fan-ins) discover NOTHING:
+    # blobs are leaves of the crawl graph, so the Python discovery pass,
+    # the robots-growth fetch, and the robots broadcast split are all
+    # statically empty — skip their jobs entirely. The decision derives
+    # from kinds_present (the staged fetch_log's observation), so resume
+    # replays it identically.
+    html_present = bool(kinds_present.difference(P.MEDIA_KINDS))
+    if html_present:
+        discovered_all = (
+            _dedup_discovered(P.discover_links(ok.coalesce(dp)))
+            .withColumn("url_hash", F.xxhash64("canon_url"))
+            .withColumn("shard", bloom_set.shard_col(F.col("canon_url")))
+            .withColumn("attempts", F.lit(0))
+            .withColumn("discovered_at_iter", F.lit(it))
+            .select(*[f.name for f in FR.FRONTIER_SCHEMA.fields])
+            .persist()
+        )
 
-    # --- robots filter: grow the per-host cache, drop disallowed URLs.
-    # The cache is persisted + materialized because it appears as a
-    # broadcast subplan (with a Python robots-fetch stage) inside SEVERAL
-    # staging jobs — broadcast exchanges are not reused across jobs, so
-    # an unmaterialized cache would re-run that subplan per consumer.
-    # Its count doubles as the eager materialization of discovered_all:
-    # update_robots_cache's host-distinct scans every discovered
-    # partition through the persist, so the separate discovered count
-    # job (one more sequential barrier per iteration) is not needed.
-    # The count itself runs INSIDE the staging pool (``_discover`` below)
-    # so it overlaps with the flog-derived staging jobs instead of being
-    # a serial barrier between fetch and staging; only the three robots-
-    # dependent stages (frontier, robots, robots_denied) wait on it.
-    robots_prev = io.read_snapshot("robots", upto=it - 1)
-    robots_cache = ROB.update_robots_cache(
-        robots_prev, discovered_all.select("host"), cfg.site
-    ).persist()
-    discovered, robots_denied = ROB.split_by_robots(discovered_all, robots_cache)
+        # --- robots filter: grow the per-host cache, drop disallowed URLs.
+        # The cache is persisted + materialized because it appears as a
+        # broadcast subplan (with a Python robots-fetch stage) inside SEVERAL
+        # staging jobs — broadcast exchanges are not reused across jobs, so
+        # an unmaterialized cache would re-run that subplan per consumer.
+        # Its count doubles as the eager materialization of discovered_all:
+        # update_robots_cache's host-distinct scans every discovered
+        # partition through the persist, so the separate discovered count
+        # job (one more sequential barrier per iteration) is not needed.
+        # The count itself runs INSIDE the staging pool (``_discover`` below)
+        # so it overlaps with the flog-derived staging jobs instead of being
+        # a serial barrier between fetch and staging; only the three robots-
+        # dependent stages (frontier, robots, robots_denied) wait on it.
+        robots_prev = io.read_snapshot("robots", upto=it - 1)
+        robots_cache = ROB.update_robots_cache(
+            robots_prev, discovered_all.select("host"), cfg.site
+        ).persist()
+        discovered, robots_denied = ROB.split_by_robots(discovered_all, robots_cache)
+    else:
+        discovered_all = None
+        robots_cache = None
+        _empty_frontier = spark.createDataFrame([], FR.FRONTIER_SCHEMA)
+        discovered, robots_denied = _empty_frontier, _empty_frontier
 
     disc_info: dict = {}
 
     def _discover():
+        if not html_present:
+            disc_info.update(
+                n_robots=prev.get("n_robots", 0), stage_robots=False, discover_s=0.0
+            )
+            return
         t = time.time()
         disc_info["n_robots"] = robots_cache.count()
         # re-stage the robots cache only when a fetch for a NEW host
@@ -469,13 +487,14 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         discover_future.result()
         if disc_info["stage_robots"]:
             io.stage(robots_cache, "robots", it)
-        io.stage(
-            robots_denied.select("canon_url", "host", "page_kind").withColumn(
-                "iteration", F.lit(it)
-            ),
-            "robots_denied",
-            it,
-        )
+        denied_delta = robots_denied.select(
+            "canon_url", "host", "page_kind"
+        ).withColumn("iteration", F.lit(it))
+        if html_present:
+            io.stage(denied_delta, "robots_denied", it)
+        else:
+            # statically empty on a media-only wave: schema shard, no job
+            io.stage_empty(denied_delta.schema, "robots_denied", it)
 
     if do_compact:
         # captions full-union base: committed log + this iteration's
@@ -533,8 +552,10 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
             f.result()  # propagate failures before commit
 
     fetched.unpersist()
-    discovered_all.unpersist()
-    robots_cache.unpersist()
+    if discovered_all is not None:
+        discovered_all.unpersist()
+    if robots_cache is not None:
+        robots_cache.unpersist()
     n_pending_next = post_counts["pending_next"]
     n_images = post_counts["images"]
     summary = {
