@@ -161,8 +161,29 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     seen_hint = prev.get("seen_total", 0)
 
     # --- dequeue: per-kind budgets (reference throttles pages, not media) ---
+    # The per-(host, kind-group) top-B window is what ENFORCES the
+    # politeness budget in count-budget mode — but when the previous
+    # commit proves the budget cannot bind (TOTAL pending per kind-group
+    # <= that group's per-host budget, an upper bound on any one host's
+    # share), the window provably selects every row, so the full
+    # shuffle+sort of the pending set is skipped and the batch is the
+    # whole frontier. Upper-bound reasoning keeps politeness exact, and
+    # the decision derives from committed manifest counts only, so
+    # resume replays it identically.
     n_salts = cfg.n_salts if pending_hint >= cfg.salt_min_pending else 1
-    dequeued = FR.dequeue(pending, pol.budget_html, pol.budget_img, n_salts)
+    hint_html = prev.get("pending_next_html")
+    hint_media = prev.get("pending_next_media")
+    if hint_html is None and "init_seeds" in prev:
+        hint_html, hint_media = prev["init_seeds"], 0  # seeds are all pages
+    if (
+        hint_html is not None
+        and hint_html <= pol.budget_html
+        and hint_media is not None
+        and hint_media <= pol.budget_img
+    ):
+        dequeued = pending
+    else:
+        dequeued = FR.dequeue(pending, pol.budget_html, pol.budget_img, n_salts)
 
     # --- fetch (persist: feeds parse x4, metrics, seen delta) ---
     # sortWithinPartitions(page_kind) before persist: the in-memory cache
@@ -471,17 +492,32 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
             io.stage_empty(images.schema, "images", it)
             post_counts["images"] = 0
             return
-        io.stage(images, "images", it)
-        # footer-metadata count inside this thread: overlaps with the
-        # other staging jobs instead of a serial job after the barrier
-        post_counts["images"] = spark.read.parquet(io._tdir("images", it)).count()
+        # count rides the staging write as an Observation — no read-back job
+        img_obs = Observation(f"images_{it}")
+        io.stage(images.observe(img_obs, F.count(F.lit(1)).alias("n")), "images", it)
+        post_counts["images"] = img_obs.get["n"]
 
     def _stage_frontier():
         # next_pending's new_rows branch reads the robots-filtered
         # discoveries — wait for their materialization (pool task below)
         discover_future.result()
-        io.stage(next_pending, "frontier", it)
-        post_counts["pending_next"] = spark.read.parquet(io._tdir("frontier", it)).count()
+        # counts ride the staging write as an Observation (no read-back
+        # job); the per-kind split feeds the next iteration's
+        # skip-the-dequeue-window proof above
+        fr_obs = Observation(f"frontier_{it}")
+        is_media = F.col("page_kind").isin(*P.MEDIA_KINDS)
+        io.stage(
+            next_pending.observe(
+                fr_obs,
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(~is_media, 1)).alias("n_html"),
+            ),
+            "frontier",
+            it,
+        )
+        vals = fr_obs.get
+        post_counts["pending_next"] = vals["n"]
+        post_counts["pending_next_html"] = vals["n_html"]
 
     def _stage_robots_tables():
         discover_future.result()
@@ -562,6 +598,8 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
         "fetched": n_fetched,
         "ok": n_ok,
         "pending_next": n_pending_next,
+        "pending_next_html": post_counts["pending_next_html"],
+        "pending_next_media": n_pending_next - post_counts["pending_next_html"],
         "images": n_images,
         "seen_total": seen_hint + n_fetched,
         "n_robots": disc_info["n_robots"],
