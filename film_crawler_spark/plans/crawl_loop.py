@@ -26,6 +26,7 @@ interrupted crawl converges to byte-identical tables (tested).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -631,6 +632,23 @@ def run_crawl(
     Returns {iterations: [...summaries], total_wall_s}."""
     io = TableIO(spark, cfg.warehouse)
     t0 = time.time()
+    # Adaptive query execution is disabled for the loop's duration (and
+    # restored after): every crawl-loop plan is FIXED-SHAPE — shuffle
+    # partitions are sized to the parallelism, the one skewed operator
+    # (hot-host dequeue) is salted explicitly, and the fat-side joins
+    # are broadcast explicitly — so AQE's runtime re-planning buys
+    # nothing here, while costing one driver scheduling round-trip per
+    # shuffle stage across the ~10 bookkeeping jobs of every iteration
+    # (measured: identical back-to-back 8-core bench legs, 319.9 s with
+    # AQE vs 235.8 s without; the gap widens under driver load, so AQE
+    # is also the largest run-to-run variance source). Overridable for
+    # cluster deployments where a data-dependent frontier join shape
+    # might warrant it.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.enabled",
+        os.environ.get("SPARK_GRAFT_CRAWL_AQE", "false"),
+    )
     last = io.last_committed()
     if last is None:
         seeds = init_frontier(spark, seed_ids, cfg)
@@ -655,13 +673,16 @@ def run_crawl(
         )
         last = -1
     summaries = []
-    for it in range(last + 1, cfg.max_iterations):
-        s = run_iteration(spark, io, cfg, it)
-        summaries.append({"iteration": it, **s})
-        if progress:
-            print(f"[crawl] it={it} {s}", flush=True)
-        if s["pending_next"] == 0:
-            break
+    try:
+        for it in range(last + 1, cfg.max_iterations):
+            s = run_iteration(spark, io, cfg, it)
+            summaries.append({"iteration": it, **s})
+            if progress:
+                print(f"[crawl] it={it} {s}", flush=True)
+            if s["pending_next"] == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return {"iterations": summaries, "total_wall_s": round(time.time() - t0, 3)}
 
 

@@ -64,6 +64,9 @@ def main() -> None:
         max_iterations=args.max_iterations,
     )
     warmup(spark)
+    from bench import _pretouch  # same untimed frame-materialization as the bench
+
+    _pretouch(int(os.environ.get("SPARK_GRAFT_BENCH_PRETOUCH_GIB", "32")))
     t0 = time.time()
     res = run_crawl(spark, make_seed_ids(args.seeds), cfg)
     wall = time.time() - t0
