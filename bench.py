@@ -43,6 +43,27 @@ sys.path.insert(0, REPO)
 # shortens the wall. 1200 seeds -> ~163k pages + ~180k image blobs:
 # 2-core leg ~430s, total bench comfortably < 2000s.
 CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_SEEDS", "1200"))
+# Soft wall-clock budget for the WHOLE bench. This sandbox's host-level
+# throughput drifts hour to hour (the same code measured 1859 s total in
+# one window and 4964 s in another); the driver's per-round bench has a
+# hard timeout (round 3 died rc=124). The bench therefore checks the
+# clock before every OPTIONAL unit of work — a leg's second best-of-2
+# run, the query suite's warm passes — and skips it when the estimate
+# doesn't fit, so a degraded machine degrades PRECISION (fewer
+# repetitions), never the artifact (rc=0 with a parsed JSON line).
+DEADLINE_S = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_S", "2250"))
+BENCH_T0 = time.time()  # re-stamped at main() entry
+
+
+def _over_budget(est_next_s: float, what: str) -> bool:
+    remaining = DEADLINE_S - (time.time() - BENCH_T0)
+    if est_next_s > remaining:
+        log(
+            f"[bench] budget: skipping {what} "
+            f"(est {est_next_s:.0f}s > {remaining:.0f}s left)"
+        )
+        return True
+    return False
 # Warehouses live on tmpfs when available: parquet blob writes through
 # ONE shared box disk are the only non-scaling stage of a media wave
 # (measured flat ~10 s at 2 and at 8 cores) — on a real cluster the
@@ -146,17 +167,25 @@ def run_query_suite(sf_dir: str, cpus: int) -> dict:
 
     # Timing protocol (round-3 driver timings drifted +15-75% on identical
     # code because the suite started cold after machine idle — the same
-    # snapshot-backed page-fault storm the crawl legs warm away): one
-    # UNTIMED full pass over the registry first (touches every input
-    # table, spins every Python worker, faults the working set in), then
-    # timed best-of-2 per query. Effectively best-of-3 with the cold pass
-    # discarded.
+    # snapshot-backed page-fault storm the crawl legs warm away): pass 1
+    # runs every query COLD and is kept only as a fallback timing; up to
+    # two further warm passes run budget permitting (the crawl legs run
+    # first and may have consumed the window on a degraded machine —
+    # see DEADLINE_S), and each query reports its minimum across passes.
+    # On a healthy machine this is the old warmup + best-of-2; on a
+    # degraded one it degrades to fewer passes instead of timing out.
     spark.range(1000).selectExpr("sum(id)").collect()
-    log("[bench] query-suite warmup pass (untimed)...")
+    log("[bench] query-suite pass 1 (cold, fallback timings)...")
+    t_pass = time.time()
+    passes = [{name: _run(name) for name in REGISTRY}]
+    pass_cost = time.time() - t_pass
+    for i in (2, 3):
+        if _over_budget(pass_cost * 0.7 + 30, f"query-suite pass {i}"):
+            break
+        log(f"[bench] query-suite pass {i}...")
+        passes.append({name: _run(name) for name in REGISTRY})
     for name in REGISTRY:
-        _run(name)
-    for name in REGISTRY:
-        timings[name] = round(min(_run(name) for _ in range(2)), 3)
+        timings[name] = round(min(p[name] for p in passes), 3)
         log(f"[bench] {name}: {timings[name]}s")
     spark.stop()
     return timings
@@ -244,6 +273,31 @@ def crawl_child(cores: int, seeds_n: int, warehouse: str) -> None:
     )
 
 
+def _probe_leg(cores: int) -> float | None:
+    """Spark-free hardware control at a leg's exact pin: the crawl's
+    per-blob hot loop (synthesize->encode->decode->phash) in plain OS
+    processes (tools/machine_probe.py). Run immediately after each leg's
+    timed runs, it samples the SAME machine state, so the engine's N->4N
+    ratio can be read against the box's own same-day ratio: this
+    sandbox's host-level throughput drifts hour to hour (identical
+    8-core legs measured 178.8-331.6 s across one session), and the
+    drift is bandwidth-shaped — it suppresses the high-core leg more,
+    so an engine ratio taken in a degraded window understates the
+    engine. Returns blobs/s or None if the probe fails."""
+    try:
+        proc = subprocess.run(
+            ["taskset", "-c", f"0-{cores - 1}", sys.executable,
+             os.path.join(REPO, "tools", "machine_probe.py"), str(cores)],
+            capture_output=True, text=True, timeout=600, cwd=REPO,
+        )
+        for line in proc.stdout.splitlines():
+            if "blobs/s" in line:
+                return float(line.split("(")[1].split("blobs/s")[0])
+    except Exception as e:  # control is best-effort; never fail the bench
+        log(f"[bench] machine probe at {cores} cores failed: {e}")
+    return None
+
+
 def run_crawl_bench() -> dict:
     out = {}
     lo, hi = _cores_pair()
@@ -258,12 +312,13 @@ def run_crawl_bench() -> dict:
         # window (measured: the 8-core leg swung 486 s warm vs 637 s cold
         # = a 0.88 -> 0.64 efficiency artifact). Re-warming at each leg's
         # own core count bounds the added wall at ~2 min per leg.
-        wh = tempfile.mkdtemp(prefix="bench_crawl_warm_", dir=BENCH_TMP)
-        try:
-            log(f"[bench] warmup crawl child at {cores} cores (untimed)...")
-            _run_crawl_leg(cores, wh, seeds=200)
-        finally:
-            shutil.rmtree(wh, ignore_errors=True)
+        if not _over_budget(180, f"{cores}-core warmup child"):
+            wh = tempfile.mkdtemp(prefix="bench_crawl_warm_", dir=BENCH_TMP)
+            try:
+                log(f"[bench] warmup crawl child at {cores} cores (untimed)...")
+                _run_crawl_leg(cores, wh, seeds=200)
+            finally:
+                shutil.rmtree(wh, ignore_errors=True)
         # Best-of-2 on BOTH legs (symmetric protocol): one guest-memory
         # reclaim (observed: buff/cache dropping to ~1 GB between legs
         # re-exposes the snapshot-backed page-fault storm) can dominate
@@ -276,7 +331,15 @@ def run_crawl_bench() -> dict:
         n_runs = 2
         walls = []
         best = None
-        for _ in range(n_runs):
+        for run_i in range(n_runs):
+            if (
+                run_i > 0
+                and best is not None
+                and _over_budget(
+                    best["wall_s"] * 1.15 + 60, f"{cores}-core timed run {run_i + 1}"
+                )
+            ):
+                break
             wh = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_", dir=BENCH_TMP)
             log(f"[bench] crawl at local[{cores}] ({CRAWL_SEEDS} seeds)...")
             try:
@@ -290,12 +353,22 @@ def run_crawl_bench() -> dict:
                 best = stats
         if n_runs > 1:
             best = {**best, "runs_wall_s": walls}
+        probe = None if _over_budget(120, f"{cores}-core machine probe") else _probe_leg(cores)
+        if probe:
+            best = {**best, "probe_blobs_per_s": probe}
+            log(f"[bench] machine probe at {cores} cores: {probe} blobs/s")
         out[f"local[{cores}]"] = best
     n, n4 = out[f"local[{lo}]"], out[f"local[{hi}]"]
     factor = hi / lo
     out["cores"] = {"n": lo, "xn": hi}
     out["scaling_efficiency_pages"] = round(n4["pages_per_s"] / (factor * n["pages_per_s"]), 3)
     out["scaling_efficiency_images"] = round(n4["images_per_s"] / (factor * n["images_per_s"]), 3)
+    p_lo, p_hi = n.get("probe_blobs_per_s"), n4.get("probe_blobs_per_s")
+    if p_lo and p_hi:
+        out["machine_efficiency"] = round(p_hi / (factor * p_lo), 3)
+        out["scaling_efficiency_pages_vs_machine"] = round(
+            out["scaling_efficiency_pages"] / out["machine_efficiency"], 3
+        )
     return out
 
 
@@ -360,6 +433,19 @@ def write_bench_md(queries: dict, crawl: dict, sf_dir: str, total: float) -> Non
         f"**Scaling efficiency N->{factor}N**: pages {crawl.get('scaling_efficiency_pages')}, "
         f"images {crawl.get('scaling_efficiency_images')} (target >= 0.8).",
         "",
+        *([
+            f"Same-run hardware control (Spark-free per-blob loop, same taskset "
+            f"pins, run immediately after each leg): "
+            f"{n.get('probe_blobs_per_s')} -> {n4.get('probe_blobs_per_s')} blobs/s "
+            f"= machine efficiency {crawl.get('machine_efficiency')}; "
+            f"**engine efficiency relative to the machine's same-state ceiling: "
+            f"{crawl.get('scaling_efficiency_pages_vs_machine')}**. This sandbox's "
+            f"host-level throughput drifts hour to hour (identical 8-core legs "
+            f"measured 178.8-331.6 s in one session) and the drift is "
+            f"bandwidth-shaped — it suppresses the high-core leg more — so the "
+            f"control separates engine scaling from host co-tenancy.",
+            "",
+        ] if crawl.get("machine_efficiency") else []),
         "Politeness budgets are independent of parallelism, so the ratio measures",
         "engine overhead, not budget relaxation (BASELINE.md measurement plan).",
         "",
@@ -407,6 +493,8 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl-child":
         crawl_child(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
         return
+    global BENCH_T0
+    BENCH_T0 = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     prune_bench_tmp()  # sweep orphans from crashed prior runs (ENOSPC guard)
