@@ -208,6 +208,15 @@ def _pretouch(gib: int) -> None:
     blocks = []
     t0 = time.time()
     cap_s = float(os.environ.get("SPARK_GRAFT_BENCH_PRETOUCH_CAP_S", "240"))
+    # never allocate more than half of currently-available physical
+    # memory: MemoryError is caught below, but under Linux overcommit the
+    # OOM killer can fire before malloc ever fails, and on a small box an
+    # uncapped 32 GiB pass would thrash swap for the full time cap
+    try:
+        avail_gib = (os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")) >> 30
+        gib = min(gib, max(1, avail_gib // 2))
+    except (ValueError, OSError, AttributeError):
+        pass
     try:
         for _ in range(gib):
             # time-capped: in the worst host windows frames materialize at
@@ -306,82 +315,153 @@ def _probe_leg(cores: int) -> float | None:
     return None
 
 
-def run_crawl_bench() -> dict:
-    out = {}
-    lo, hi = _cores_pair()
-    for cores in (lo, hi):
-        # Untimed warmup child BEFORE EACH timed leg: crawl-shaped work
-        # after machine idle pays a machine-wide page-fault storm on this
-        # snapshot-backed sandbox (measured 171 s vs 87 s steady for an
-        # identical 600-seed child; guest-physical pages materialize on
-        # first touch). A single warmup at the start is NOT enough — the
-        # second leg starts ~30 min after it, and memory reclaimed during
-        # the long quiet first leg re-exposes the storm inside the timed
-        # window (measured: the 8-core leg swung 486 s warm vs 637 s cold
-        # = a 0.88 -> 0.64 efficiency artifact). Re-warming at each leg's
-        # own core count bounds the added wall at ~2 min per leg.
-        if not _over_budget(180, f"{cores}-core warmup child"):
-            wh = tempfile.mkdtemp(prefix="bench_crawl_warm_", dir=BENCH_TMP)
-            try:
-                log(f"[bench] warmup crawl child at {cores} cores (untimed)...")
-                _run_crawl_leg(cores, wh, seeds=200)
-            finally:
-                shutil.rmtree(wh, ignore_errors=True)
-        # the machine probe runs BEFORE the timed runs (right after the
-        # warmup, so it samples adjacent machine state) — at the end of a
-        # budget-squeezed run it would be skipped, and the control matters
-        # most exactly when the machine is degraded
-        probe = None if _over_budget(120, f"{cores}-core machine probe") else _probe_leg(cores)
+def _timed_leg(cores: int, with_probe: bool = True) -> dict:
+    """One probe + one timed crawl leg at ``cores``, adjacent in time."""
+    # the machine probe runs immediately BEFORE the timed run so it
+    # samples adjacent machine state — it is each leg's same-window
+    # hardware control
+    probe = None
+    if with_probe and not _over_budget(120, f"{cores}-core machine probe"):
+        probe = _probe_leg(cores)
         if probe:
             log(f"[bench] machine probe at {cores} cores: {probe} blobs/s")
-        # Best-of-2 on BOTH legs (symmetric protocol): one guest-memory
-        # reclaim (observed: buff/cache dropping to ~1 GB between legs
-        # re-exposes the snapshot-backed page-fault storm) can dominate
-        # either reading — identical code measured 483/486/588/637 s
-        # across runs on the short leg. The engine is deterministic and
-        # the politeness budget fixed, so run-to-run delta is machine
-        # state, not engine behavior — the best run is the engine
-        # measurement (same rationale as the query suite's best-of-2
-        # above). Both readings are recorded per leg in runs_wall_s.
-        n_runs = 2
-        walls = []
-        best = None
-        for run_i in range(n_runs):
-            if (
-                run_i > 0
-                and best is not None
-                and _over_budget(
-                    best["wall_s"] * 1.15 + 60, f"{cores}-core timed run {run_i + 1}"
-                )
-            ):
-                break
-            wh = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_", dir=BENCH_TMP)
-            log(f"[bench] crawl at local[{cores}] ({CRAWL_SEEDS} seeds)...")
-            try:
-                stats = _run_crawl_leg(cores, wh)
-            finally:
-                # the child's warehouse is ~GBs of parquet; never leave
-                # it behind (round 1's ENOSPC crash)
-                shutil.rmtree(wh, ignore_errors=True)
-            walls.append(stats["wall_s"])
-            if best is None or stats["wall_s"] < best["wall_s"]:
-                best = stats
-        if n_runs > 1:
-            best = {**best, "runs_wall_s": walls}
-        if probe:
-            best = {**best, "probe_blobs_per_s": probe}
-        out[f"local[{cores}]"] = best
-    n, n4 = out[f"local[{lo}]"], out[f"local[{hi}]"]
+    wh = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_", dir=BENCH_TMP)
+    log(f"[bench] crawl at local[{cores}] ({CRAWL_SEEDS} seeds)...")
+    try:
+        stats = _run_crawl_leg(cores, wh)
+    finally:
+        # the child's warehouse is ~GBs of parquet; never leave it
+        # behind (round 1's ENOSPC crash)
+        shutil.rmtree(wh, ignore_errors=True)
+    if probe:
+        stats = {**stats, "probe_blobs_per_s": probe}
+    return stats
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+
+def run_crawl_bench() -> dict:
+    """Interleaved-pair protocol (round-4 verdict #1).
+
+    Earlier rounds ran best-of-2 per core count, LEVEL BY LEVEL — the
+    lo and hi legs sat ~30 min apart, so they could sample different
+    machine states on a sandbox whose host-level throughput drifts hour
+    to hour (documented 0.61-0.82 efficiency spread on identical code).
+    This protocol runs the legs as ADJACENT pairs, A/B repeated:
+
+        warmup(hi) ; [probe(lo) leg(lo) probe(hi) leg(hi)] x 2
+
+    so every efficiency ratio is computed from a same-window pair by
+    construction. The headline scaling efficiency is the MEDIAN of the
+    per-pair ratios (with the per-pair values and their spread recorded
+    in ``pairs`` / ``paired_spread_*``); each leg also carries its
+    adjacent Spark-free machine probe so every pair has its own
+    same-state hardware control. Budget logic drops pair 2 (and the
+    optional full-box secondary leg below) on a degraded machine rather
+    than timing out; pair 1 always runs.
+
+    After the pairs, budget permitting, ONE secondary full-box leg runs
+    at local[cpu_count] (round-4 verdict #3): the graded pair stays
+    lo-vs-hi because the machine itself stops scaling past ~8 processes
+    (tools/machine_probe.py: ~0.71 from 8->32, DRAM/turbo ceiling), but
+    the full-box number is now a standing artifact next to its own
+    probe instead of living only in narrative.
+    """
+    out: dict = {}
+    lo, hi = _cores_pair()
     factor = hi / lo
+    # Untimed warmup child before the FIRST leg only: crawl-shaped work
+    # after machine idle pays a machine-wide page-fault storm on this
+    # snapshot-backed sandbox (measured 171 s vs 87 s steady for an
+    # identical 600-seed child). The interleaved pairs then keep the
+    # machine continuously warm — the old per-level re-warm existed
+    # precisely because the second level started ~30 min after the
+    # first warmup, which the pair protocol makes impossible.
+    if not _over_budget(180, "warmup child"):
+        wh = tempfile.mkdtemp(prefix="bench_crawl_warm_", dir=BENCH_TMP)
+        try:
+            log(f"[bench] warmup crawl child at {hi} cores (untimed)...")
+            _run_crawl_leg(hi, wh, seeds=200)
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
+    pairs: list[dict] = []
+    pair_cost = None
+    for pair_i in range(2):
+        if pair_i > 0 and _over_budget(
+            (pair_cost or 600) * 1.1 + 60, f"interleaved pair {pair_i + 1}"
+        ):
+            out["pairs_skipped"] = f"budget: pair {pair_i + 1} dropped"
+            break
+        t_pair = time.time()
+        n = _timed_leg(lo)
+        n4 = _timed_leg(hi)
+        pair_cost = time.time() - t_pair
+        pair = {
+            f"local[{lo}]": n,
+            f"local[{hi}]": n4,
+            "eff_pages": round(n4["pages_per_s"] / (factor * n["pages_per_s"]), 3),
+            "eff_images": round(n4["images_per_s"] / (factor * n["images_per_s"]), 3),
+        }
+        p_lo, p_hi = n.get("probe_blobs_per_s"), n4.get("probe_blobs_per_s")
+        if p_lo and p_hi:
+            pair["machine_eff"] = round(p_hi / (factor * p_lo), 3)
+        pairs.append(pair)
+        log(f"[bench] pair {pair_i + 1}: eff_pages={pair['eff_pages']} "
+            f"eff_images={pair['eff_images']} machine={pair.get('machine_eff')}")
+
+    out["pairs"] = pairs
+    # per-level summary: best leg across pairs (markdown + continuity
+    # with earlier rounds' BENCH_r*.json shape)
+    for cores in (lo, hi):
+        legs = [p[f"local[{cores}]"] for p in pairs]
+        best = min(legs, key=lambda s: s["wall_s"])
+        out[f"local[{cores}]"] = {**best, "runs_wall_s": [s["wall_s"] for s in legs]}
     out["cores"] = {"n": lo, "xn": hi}
-    out["scaling_efficiency_pages"] = round(n4["pages_per_s"] / (factor * n["pages_per_s"]), 3)
-    out["scaling_efficiency_images"] = round(n4["images_per_s"] / (factor * n["images_per_s"]), 3)
-    p_lo, p_hi = n.get("probe_blobs_per_s"), n4.get("probe_blobs_per_s")
-    if p_lo and p_hi:
-        out["machine_efficiency"] = round(p_hi / (factor * p_lo), 3)
+    # HEADLINE = median of the same-window per-pair ratios
+    out["scaling_efficiency_pages"] = round(_median([p["eff_pages"] for p in pairs]), 3)
+    out["scaling_efficiency_images"] = round(_median([p["eff_images"] for p in pairs]), 3)
+    out["paired_spread_pages"] = round(
+        max(p["eff_pages"] for p in pairs) - min(p["eff_pages"] for p in pairs), 3
+    )
+    out["paired_spread_images"] = round(
+        max(p["eff_images"] for p in pairs) - min(p["eff_images"] for p in pairs), 3
+    )
+    m_effs = [p["machine_eff"] for p in pairs if p.get("machine_eff")]
+    if m_effs:
+        out["machine_efficiency"] = round(_median(m_effs), 3)
         out["scaling_efficiency_pages_vs_machine"] = round(
             out["scaling_efficiency_pages"] / out["machine_efficiency"], 3
         )
+
+    # secondary full-box leg (reported, not graded — see docstring)
+    full = os.cpu_count() or hi
+    if full > hi:
+        hi_best = out[f"local[{hi}]"]
+        est = hi_best["wall_s"] * 1.3 + 120
+        if _over_budget(est, f"secondary local[{full}] leg"):
+            out["secondary_full_box"] = {"skipped": "budget"}
+        else:
+            leg = _timed_leg(full)
+            out[f"local[{full}]"] = leg
+            sec = {
+                "cores": {"n": hi, "xn": full},
+                "eff_pages": round(
+                    leg["pages_per_s"] / ((full / hi) * hi_best["pages_per_s"]), 3
+                ),
+                "eff_images": round(
+                    leg["images_per_s"] / ((full / hi) * hi_best["images_per_s"]), 3
+                ),
+            }
+            p8, p32 = hi_best.get("probe_blobs_per_s"), leg.get("probe_blobs_per_s")
+            if p8 and p32:
+                sec["machine_eff"] = round(p32 / ((full / hi) * p8), 3)
+            out["secondary_full_box"] = sec
+            log(f"[bench] secondary local[{full}]: {sec}")
     return out
 
 
@@ -417,6 +497,74 @@ def _run_crawl_leg(cores: int, wh: str, seeds: int | None = None) -> dict:
     return stats
 
 
+def _pairs_md(crawl: dict, lo: int, hi: int, factor) -> list[str]:
+    """Markdown for the interleaved-pair protocol + secondary leg."""
+    pairs = crawl.get("pairs") or []
+    if not pairs:
+        return []
+    lines = [
+        "### Interleaved pairs (same-window by construction)",
+        "",
+        "The legs run as adjacent A/B pairs (lo, hi, lo, hi) so each",
+        "efficiency ratio compares two runs of the SAME machine window —",
+        "earlier rounds' level-by-level protocol left ~30 min between the",
+        "legs, wide enough for this sandbox's hour-scale host drift to move",
+        "the ratio 0.61-0.82 on identical code. Each leg is preceded by its",
+        "own Spark-free hardware probe (tools/machine_probe.py at the same",
+        "taskset pins), giving every pair a same-state machine control.",
+        "",
+        f"| pair | local[{lo}] wall s | local[{hi}] wall s | eff pages | eff images | machine eff |",
+        "|---|---|---|---|---|---|",
+    ]
+    for i, p in enumerate(pairs, 1):
+        lines.append(
+            f"| {i} | {p[f'local[{lo}]']['wall_s']} | {p[f'local[{hi}]']['wall_s']} "
+            f"| {p['eff_pages']} | {p['eff_images']} | {p.get('machine_eff', '-')} |"
+        )
+    lines += [
+        "",
+        f"Headline = median of pair efficiencies: pages "
+        f"{crawl.get('scaling_efficiency_pages')} (paired spread "
+        f"{crawl.get('paired_spread_pages')}), images "
+        f"{crawl.get('scaling_efficiency_images')} (spread "
+        f"{crawl.get('paired_spread_images')}).",
+        "",
+    ]
+    if crawl.get("pairs_skipped"):
+        lines += [f"Note: {crawl['pairs_skipped']}.", ""]
+    sec = crawl.get("secondary_full_box")
+    if isinstance(sec, dict) and "skipped" in sec:
+        lines += [
+            "### Secondary full-box leg: skipped (budget)",
+            "",
+            "The optional local[cpu_count] leg did not fit this run's time",
+            "budget; the graded pair above is unaffected (see the machine-",
+            "probe rationale below for why the full box is secondary).",
+            "",
+        ]
+    elif isinstance(sec, dict):
+        c = sec.get("cores", {})
+        full = c.get("xn")
+        leg = crawl.get(f"local[{full}]", {})
+        lines += [
+            f"### Secondary full-box leg: local[{full}] (reported, not graded)",
+            "",
+            f"| run | wall s | pages/s | images/s | probe blobs/s |",
+            "|---|---|---|---|---|",
+            f"| local[{full}] | {leg.get('wall_s')} | {leg.get('pages_per_s')} "
+            f"| {leg.get('images_per_s')} | {leg.get('probe_blobs_per_s', '-')} |",
+            "",
+            f"{c.get('n')}->{full} cores: engine efficiency pages "
+            f"{sec.get('eff_pages')}, images {sec.get('eff_images')}, machine "
+            f"ceiling at the same pins {sec.get('machine_eff', 'n/a')} — the box",
+            "itself stops scaling past ~8 processes (DRAM/turbo ceiling), which",
+            "is why this leg is a standing secondary figure rather than the",
+            "graded pair.",
+            "",
+        ]
+    return lines
+
+
 def write_bench_md(queries: dict, crawl: dict, sf_dir: str, total: float) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # prefer the pair recorded with the crawl results (they may be from a
@@ -444,8 +592,11 @@ def write_bench_md(queries: dict, crawl: dict, sf_dir: str, total: float) -> Non
         f"| local[{hi}] ({factor}N) | {n4.get('wall_s')} | {n4.get('pages')} | {n4.get('pages_per_s')} | {n4.get('image_blobs')} | {n4.get('images_per_s')} |",
         "",
         f"**Scaling efficiency N->{factor}N**: pages {crawl.get('scaling_efficiency_pages')}, "
-        f"images {crawl.get('scaling_efficiency_images')} (target >= 0.8).",
+        f"images {crawl.get('scaling_efficiency_images')} (target >= 0.8) — the MEDIAN of",
+        "same-window interleaved pairs (protocol below); per-level rows above are each",
+        "level's best leg across the pairs.",
         "",
+        *_pairs_md(crawl, lo, hi, factor),
         "Measurement context: host-level throughput on this sandbox drifts",
         "hour to hour. Within one session, identical code and protocol",
         "measured 2-core walls of 522-689 s and 8-core walls of 179-331 s;",
@@ -459,9 +610,9 @@ def write_bench_md(queries: dict, crawl: dict, sf_dir: str, total: float) -> Non
         "",
         *([
             f"Same-run hardware control (Spark-free per-blob loop, same taskset "
-            f"pins, run immediately after each leg): "
-            f"{n.get('probe_blobs_per_s')} -> {n4.get('probe_blobs_per_s')} blobs/s "
-            f"= machine efficiency {crawl.get('machine_efficiency')}; "
+            f"pins, run immediately before each leg): best legs "
+            f"{n.get('probe_blobs_per_s')} -> {n4.get('probe_blobs_per_s')} blobs/s; "
+            f"median-of-pairs machine efficiency {crawl.get('machine_efficiency')}; "
             f"**engine efficiency relative to the machine's same-state ceiling: "
             f"{crawl.get('scaling_efficiency_pages_vs_machine')}**. This sandbox's "
             f"host-level throughput drifts hour to hour (identical 8-core legs "

@@ -310,9 +310,17 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
 
     def _discover():
         if not html_present:
-            disc_info.update(
-                n_robots=prev.get("n_robots", 0), stage_robots=False, discover_s=0.0
-            )
+            # carry the previous host count through the media-only wave; a
+            # manifest written before this key existed would otherwise pass
+            # 0 along and make the next HTML wave's stage_robots comparison
+            # spuriously true — fall back to counting the last committed
+            # robots snapshot (a per-host table: tiny, one cheap job, and
+            # only on the resume-from-old-manifest path)
+            n_rob = prev.get("n_robots")
+            if n_rob is None:
+                rb = io.read_snapshot("robots", upto=it - 1)
+                n_rob = rb.count() if rb is not None else 0
+            disc_info.update(n_robots=n_rob, stage_robots=False, discover_s=0.0)
             return
         t = time.time()
         disc_info["n_robots"] = robots_cache.count()
@@ -645,35 +653,38 @@ def run_crawl(
     # cluster deployments where a data-dependent frontier join shape
     # might warrant it.
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set(
-        "spark.sql.adaptive.enabled",
-        os.environ.get("SPARK_GRAFT_CRAWL_AQE", "false"),
-    )
-    last = io.last_committed()
-    if last is None:
-        seeds = init_frontier(spark, seed_ids, cfg)
-        robots0 = ROB.fetch_robots_for_hosts(seeds.select("host"), cfg.site)
-        allowed, denied = ROB.split_by_robots(seeds, robots0)
-        io.stage(allowed.repartition("host"), "frontier", -1)
-        io.stage(robots0, "robots", -1)
-        io.stage(
-            denied.select("canon_url", "host", "page_kind").withColumn("iteration", F.lit(-1)),
-            "robots_denied",
-            -1,
-        )
-        n_seeds = (
-            seed_ids.select(seed_ids.columns[0]).distinct().count()
-            if isinstance(seed_ids, DataFrame)
-            else len(set(seed_ids))
-        )
-        io.commit(
-            -1,
-            ["frontier", "robots", "robots_denied"],
-            extra={"summary": {"init_seeds": n_seeds}},
-        )
-        last = -1
     summaries = []
+    # the try covers the conf flip AND the first-run init path, so an
+    # exception anywhere (init_frontier included) still restores the
+    # caller's AQE setting in the finally
     try:
+        spark.conf.set(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_CRAWL_AQE", "false"),
+        )
+        last = io.last_committed()
+        if last is None:
+            seeds = init_frontier(spark, seed_ids, cfg)
+            robots0 = ROB.fetch_robots_for_hosts(seeds.select("host"), cfg.site)
+            allowed, denied = ROB.split_by_robots(seeds, robots0)
+            io.stage(allowed.repartition("host"), "frontier", -1)
+            io.stage(robots0, "robots", -1)
+            io.stage(
+                denied.select("canon_url", "host", "page_kind").withColumn("iteration", F.lit(-1)),
+                "robots_denied",
+                -1,
+            )
+            n_seeds = (
+                seed_ids.select(seed_ids.columns[0]).distinct().count()
+                if isinstance(seed_ids, DataFrame)
+                else len(set(seed_ids))
+            )
+            io.commit(
+                -1,
+                ["frontier", "robots", "robots_denied"],
+                extra={"summary": {"init_seeds": n_seeds}},
+            )
+            last = -1
         for it in range(last + 1, cfg.max_iterations):
             s = run_iteration(spark, io, cfg, it)
             summaries.append({"iteration": it, **s})

@@ -337,3 +337,127 @@ def test_robots_respected(crawled, sim):
         for r in denied.collect()
     }
     assert denied_tts == blocked_seeds
+
+
+# ---------------------------------------------------------------------------
+# crawl -> supplement -> resumed crawl == uninterrupted crawl (round-4
+# verdict item #5). The supplement commit sits BETWEEN two crawl
+# iterations and forwards the manifest hint chain (seen_total /
+# pending_next / pending_next_html / n_robots, plans/supplement.py) that
+# the next run_iteration's dequeue-skip proof and bloom maintenance
+# consume. A wrong hint would silently change physical plans while
+# staying replay-identical by design — so this gate pins exactly that:
+# every sink table and the per-host fetch order must match the
+# uninterrupted crawl byte-for-byte, modulo the one documented artifact
+# of interleaving (the supplement consumes one iteration number, so all
+# later iteration-derived values shift by exactly +1 — the comparison
+# remaps them back rather than dropping them).
+
+from collections import Counter
+
+SUPP_SITE = SiteConfig(max_images_per_title=10, max_images_per_person=5,
+                       max_videos_per_title=5, max_videos_per_person=3)
+SUPP_SEEDS = make_seed_ids(8)
+_ITER_COLS = {"iteration", "discovered_at_iter"}
+
+
+def _norm_val(v):
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if isinstance(v, dict):
+        return tuple(sorted(v.items()))
+    if isinstance(v, list):
+        return tuple(_norm_val(x) for x in v)
+    return v
+
+
+def _table_counter(io, table, supp_it=None, time_remap=None):
+    """Row multiset of a sink table; when supp_it is given, the
+    supplement's own fetch_log lineage rows are excluded and every
+    iteration-derived value > supp_it is shifted back by 1 (incl. the
+    ratings fetched_at crawl-clock timestamps via time_remap)."""
+    df = io.read_log(table)
+    if df is None:
+        return None
+    names = df.columns
+    out = Counter()
+    for r in df.collect():
+        d = r.asDict(recursive=True)
+        if supp_it is not None and table == "fetch_log" and d.get("iteration") == supp_it:
+            continue
+        vals = []
+        for c in names:
+            v = d[c]
+            if supp_it is not None:
+                if c in _ITER_COLS and isinstance(v, int) and v > supp_it:
+                    v -= 1
+                elif c == "fetched_at" and time_remap and v in time_remap:
+                    v = time_remap[v]
+            vals.append(_norm_val(v))
+        out[tuple(vals)] += 1
+    return out
+
+
+def _fetch_order(io, supp_it=None):
+    rows = (
+        io.read_log("fetch_log")
+        .select("host", "iteration", "priority", "seq", "canon_url")
+        .collect()
+    )
+    if supp_it is not None:
+        rows = [r for r in rows if r["iteration"] != supp_it]
+    order: dict[str, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r["iteration"], r["priority"], r["seq"])):
+        order.setdefault(r["host"], []).append(r["canon_url"])
+    return order
+
+
+def test_supplement_interleaved_resume_replays_identically(spark, tmp_path_factory):
+    from film_crawler_spark.operators.parse import synthetic_fetch_time
+    from film_crawler_spark.plans.crawl_loop import RESULT_TABLES
+    from film_crawler_spark.plans.supplement import run_supplement
+
+    pol = PolitenessConfig(budget_html=16, budget_img=200)
+
+    # A: crawl 3 iterations, supplement (unchanged site), resume to done
+    wh_a = str(tmp_path_factory.mktemp("wh_interleave"))
+    cfg_a = CrawlConfig(warehouse=wh_a, site=SUPP_SITE, politeness=pol,
+                        max_iterations=3)
+    res_a1 = run_crawl(spark, SUPP_SEEDS, cfg_a)
+    assert res_a1["iterations"][-1]["pending_next"] > 0, (
+        "interruption must land mid-crawl for the gate to mean anything"
+    )
+    io_a = TableIO(spark, wh_a)
+    supp = run_supplement(spark, cfg_a, kinds=("reviews", "news"))
+    supp_it = supp["iteration"]
+    assert supp["refetched"] > 0  # the supplement actually re-fetched pages
+    assert supp["reviews_new"] == 0 and supp["news_new"] == 0  # site unchanged
+    assert io_a.manifest(supp_it).get("supplement") is True
+    res_a2 = run_crawl(
+        spark, SUPP_SEEDS,
+        CrawlConfig(warehouse=wh_a, site=SUPP_SITE, politeness=pol,
+                    max_iterations=33),
+    )
+    assert res_a2["iterations"], "resume after the supplement ran no iterations"
+    assert res_a2["iterations"][-1]["pending_next"] == 0
+
+    # B: the same crawl, uninterrupted
+    wh_b = str(tmp_path_factory.mktemp("wh_plain"))
+    run_crawl(spark, SUPP_SEEDS,
+              CrawlConfig(warehouse=wh_b, site=SUPP_SITE, politeness=pol,
+                          max_iterations=32))
+    io_b = TableIO(spark, wh_b)
+
+    # iteration-clock remap for the ratings time-series column
+    time_remap = {
+        synthetic_fetch_time(j): synthetic_fetch_time(j - 1)
+        for j in range(supp_it + 1, 40)
+    }
+
+    assert _fetch_order(io_a, supp_it) == _fetch_order(io_b)
+    for t in RESULT_TABLES:
+        a = _table_counter(io_a, t, supp_it=supp_it, time_remap=time_remap)
+        b = _table_counter(io_b, t)
+        if a is None and b is None:
+            continue
+        assert a == b, f"table {t} diverged after interleaved supplement"
