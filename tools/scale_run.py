@@ -290,8 +290,8 @@ def main() -> None:
                 f"{', '.join(str(i) for i in blob_its_at_scale)} fetched image "
                 f"blobs while the frontier they dequeued from held >= 1,000,000 "
                 f"pending rows ({blobs:,} blobs total, "
-                f"{blobs / wall:,.0f} blobs/s wall-average), with the Bloom/seen "
-                f"probe and salted dequeue active on the same iterations. The "
+                f"{blobs / wall:,.0f} blobs/s wall-average), with the seen "
+                f"filter and salted dequeue active on the same iterations. The "
                 f"caption join broadcast stays per-iteration-bounded by design "
                 f"(plans/crawl_loop.py: captions broadcast only for THIS "
                 f"iteration's rm ids): the largest single-iteration images count "
