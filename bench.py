@@ -191,7 +191,7 @@ def run_query_suite(sf_dir: str, cpus: int) -> dict:
     return timings
 
 
-def _pretouch(gib: int) -> None:
+def _pretouch(gib: int, cap_s: float | None = None) -> None:
     """Materialize guest-physical memory frames BEFORE the timed window.
 
     This sandbox runs on snapshot-backed lazily-restored memory: the
@@ -207,7 +207,8 @@ def _pretouch(gib: int) -> None:
     as the untimed worker-pool warmup)."""
     blocks = []
     t0 = time.time()
-    cap_s = float(os.environ.get("SPARK_GRAFT_BENCH_PRETOUCH_CAP_S", "240"))
+    if cap_s is None:
+        cap_s = float(os.environ.get("SPARK_GRAFT_BENCH_PRETOUCH_CAP_S", "240"))
     # never allocate more than half of currently-available physical
     # memory: MemoryError is caught below, but under Linux overcommit the
     # OOM killer can fire before malloc ever fails, and on a small box an
@@ -233,13 +234,10 @@ def _pretouch(gib: int) -> None:
 
 def crawl_child(cores: int, seeds_n: int, warehouse: str) -> None:
     """Subprocess body: run the full crawl at local[cores], print stats."""
-    from pyspark.sql import functions as F
-
     from film_crawler_spark.operators.politeness import PolitenessConfig
     from film_crawler_spark.plans.crawl_loop import CrawlConfig, run_crawl
     from film_crawler_spark.session import get_spark, warmup
     from film_crawler_spark.sources.synthetic_site import SiteConfig, make_seed_ids
-    from film_crawler_spark.sources.tableio import TableIO
 
     os.makedirs(BENCH_SCRATCH, exist_ok=True)
     spark = get_spark(
@@ -264,15 +262,18 @@ def crawl_child(cores: int, seeds_n: int, warehouse: str) -> None:
     warmup(spark)  # worker pool spin-up is environment cost, not crawl cost
     _pretouch(int(os.environ.get("SPARK_GRAFT_BENCH_PRETOUCH_GIB", "32")))
     t0 = time.time()
-    run_crawl(spark, seeds, cfg)
+    res = run_crawl(spark, seeds, cfg)
     wall = time.time() - t0
-    io = TableIO(spark, warehouse)
-    from film_crawler_spark.sources.synthetic_site import MEDIA_KINDS
-
-    flog = io.read_log("fetch_log")
-    pages = flog.filter(~F.col("page_kind").isin(*MEDIA_KINDS)).count()
-    blobs = flog.filter(F.col("page_kind") == "image_blob").count()
-    images = io.read_log("images").count()
+    # throughput counts come from the committed per-iteration summaries
+    # (the fetch_log Observation's per-kind counters) — identical values
+    # to the old fetch_log/images read-back, without 3 post-crawl Spark
+    # jobs per child eating the bench's untimed budget
+    its = res["iterations"]
+    total = sum(s["fetched"] for s in its)
+    media = sum(s["fetched_media"] for s in its)
+    pages = total - media
+    blobs = sum(s["fetched_image_blobs"] for s in its)
+    images = sum(s["images"] for s in its)
     spark.stop()
     print(
         json.dumps(
@@ -301,10 +302,15 @@ def _probe_leg(cores: int) -> float | None:
     drift is bandwidth-shaped — it suppresses the high-core leg more,
     so an engine ratio taken in a degraded window understates the
     engine. Returns blobs/s or None if the probe fails."""
+    # sample size scales with cores (wall-bounded: ~10 s per probe at any
+    # pin) — throughput converges within a few thousand blobs, and the
+    # probe's value is ADJACENCY to its leg, not extra digits
+    n = min(12000, max(3000, 1500 * cores))
     try:
         proc = subprocess.run(
             ["taskset", "-c", f"0-{cores - 1}", sys.executable,
-             os.path.join(REPO, "tools", "machine_probe.py"), str(cores)],
+             os.path.join(REPO, "tools", "machine_probe.py"), str(cores),
+             f"n={n}"],
             capture_output=True, text=True, timeout=600, cwd=REPO,
         )
         for line in proc.stdout.splitlines():
@@ -331,11 +337,24 @@ def _timed_leg(cores: int, with_probe: bool = True) -> dict:
         stats = _run_crawl_leg(cores, wh)
     finally:
         # the child's warehouse is ~GBs of parquet; never leave it
-        # behind (round 1's ENOSPC crash)
-        shutil.rmtree(wh, ignore_errors=True)
+        # behind (round 1's ENOSPC crash). Removal runs in a background
+        # thread: it is pure kernel unlink work the next leg does not
+        # contend with, and doing it inline cost the budget 5-15 s per
+        # leg; prune_bench_tmp() at bench end is the synchronous backstop
+        _rmtree_bg(wh)
     if probe:
         stats = {**stats, "probe_blobs_per_s": probe}
     return stats
+
+
+def _rmtree_bg(path: str) -> None:
+    """Remove a bench-owned directory without blocking the budget clock."""
+    import threading
+
+    threading.Thread(
+        target=shutil.rmtree, args=(path,), kwargs={"ignore_errors": True},
+        daemon=True,
+    ).start()
 
 
 def _median(xs: list[float]) -> float:
@@ -385,15 +404,20 @@ def run_crawl_bench() -> dict:
         wh = tempfile.mkdtemp(prefix="bench_crawl_warm_", dir=BENCH_TMP)
         try:
             log(f"[bench] warmup crawl child at {hi} cores (untimed)...")
-            _run_crawl_leg(hi, wh, seeds=200)
+            _run_crawl_leg(hi, wh, seeds=120, pretouch_cap=240.0)
         finally:
-            shutil.rmtree(wh, ignore_errors=True)
+            _rmtree_bg(wh)
 
     pairs: list[dict] = []
     pair_cost = None
     for pair_i in range(2):
+        # pair 2's estimate is pair 1's measured cost, not an inflated
+        # multiple of it: pair 2 runs on a machine pair 1 just warmed
+        # (every observed pair 2 has been <= pair 1), so padding the
+        # estimate only converts marginal windows into dropped pairs —
+        # and a dropped pair costs the protocol its same-window median
         if pair_i > 0 and _over_budget(
-            (pair_cost or 600) * 1.1 + 60, f"interleaved pair {pair_i + 1}"
+            (pair_cost or 600) + 30, f"interleaved pair {pair_i + 1}"
         ):
             out["pairs_skipped"] = f"budget: pair {pair_i + 1} dropped"
             break
@@ -465,7 +489,9 @@ def run_crawl_bench() -> dict:
     return out
 
 
-def _run_crawl_leg(cores: int, wh: str, seeds: int | None = None) -> dict:
+def _run_crawl_leg(
+    cores: int, wh: str, seeds: int | None = None, pretouch_cap: float = 60.0
+) -> dict:
     # taskset pins the child to EXACTLY `cores` CPUs. Unpinned, a
     # local[N] JVM on an idle big box borrows arbitrary extra cores
     # (Arrow feeder threads + Python workers run concurrently with each
@@ -481,6 +507,14 @@ def _run_crawl_leg(cores: int, wh: str, seeds: int | None = None) -> dict:
     # the driver work it folds in is ~3% of wall over 6 iterations and
     # symmetric across legs.
     pin = ["taskset", "-c", f"0-{cores - 1}"]
+    # timed legs run after the parent pretouch + untimed warmup child, so
+    # their own (untimed, budget-eating) pretouch pass normally finds warm
+    # frames and finishes in seconds — the tighter cap only binds in
+    # pathological host windows, where it bounds budget damage; the
+    # warmup child keeps the full cap because IT is where cold-frame cost
+    # is supposed to land
+    env = {**os.environ}
+    env.setdefault("SPARK_GRAFT_BENCH_PRETOUCH_CAP_S", str(pretouch_cap))
     proc = subprocess.run(
         pin + [sys.executable, os.path.abspath(__file__), "--crawl-child", str(cores),
                str(seeds if seeds is not None else CRAWL_SEEDS), wh],
@@ -488,6 +522,7 @@ def _run_crawl_leg(cores: int, wh: str, seeds: int | None = None) -> dict:
         text=True,
         timeout=5400,
         cwd=REPO,
+        env=env,
     )
     if proc.returncode != 0:
         log(proc.stderr[-3000:])
@@ -739,7 +774,14 @@ def main() -> None:
             # (time-capped) pretouch finds mostly-warm memory instead of
             # re-paying the host fault storm per subprocess
             log("[bench] parent memory pretouch...")
-            _pretouch(int(os.environ.get("SPARK_GRAFT_BENCH_PRETOUCH_GIB", "32")))
+            # tighter cap than the children's env default: whatever cold
+            # frames the parent pass does not reach, the untimed warmup
+            # child absorbs — spending the full 240 s here came straight
+            # out of the interleaved pairs' budget
+            _pretouch(
+                int(os.environ.get("SPARK_GRAFT_BENCH_PRETOUCH_GIB", "32")),
+                cap_s=120.0,
+            )
             crawl = run_crawl_bench()
             if official:
                 os.makedirs(os.path.dirname(cache), exist_ok=True)

