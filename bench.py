@@ -51,7 +51,13 @@ CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_SEEDS", "1200"))
 # run, the query suite's warm passes — and skips it when the estimate
 # doesn't fit, so a degraded machine degrades PRECISION (fewer
 # repetitions), never the artifact (rc=0 with a parsed JSON line).
-DEADLINE_S = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_S", "2000"))
+_DEADLINE_DEFAULT = "2150"  # see run_crawl_bench: sized so that a
+# 2-pair run that JUST fits still ends (with the mandatory cold query
+# pass) within ~2400 s total — the envelope round 4's 1670 s rc=0 and
+# round 3's >2400 s rc=124 bracket as safe
+DEADLINE_S = float(
+    os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_S", _DEADLINE_DEFAULT)
+)
 BENCH_T0 = time.time()  # re-stamped at main() entry
 
 
@@ -462,12 +468,17 @@ def run_crawl_bench() -> dict:
             out["scaling_efficiency_pages"] / out["machine_efficiency"], 3
         )
 
-    # secondary full-box leg (reported, not graded — see docstring)
+    # secondary full-box leg (reported, not graded — see docstring).
+    # When the GRADED pair 2 was budget-dropped, the run is already
+    # degraded: spend nothing further on ungraded crawl legs (the first
+    # trimmed-budget run burned ~110 s here after dropping pair 2).
     full = os.cpu_count() or hi
     if full > hi:
         hi_best = out[f"local[{hi}]"]
         est = hi_best["wall_s"] * 1.3 + 120
-        if _over_budget(est, f"secondary local[{full}] leg"):
+        if len(pairs) < 2:
+            out["secondary_full_box"] = {"skipped": "graded pair 2 was dropped"}
+        elif _over_budget(est, f"secondary local[{full}] leg"):
             out["secondary_full_box"] = {"skipped": "budget"}
         else:
             leg = _timed_leg(full)
@@ -570,11 +581,11 @@ def _pairs_md(crawl: dict, lo: int, hi: int, factor) -> list[str]:
     sec = crawl.get("secondary_full_box")
     if isinstance(sec, dict) and "skipped" in sec:
         lines += [
-            "### Secondary full-box leg: skipped (budget)",
+            f"### Secondary full-box leg: skipped ({sec['skipped']})",
             "",
-            "The optional local[cpu_count] leg did not fit this run's time",
-            "budget; the graded pair above is unaffected (see the machine-",
-            "probe rationale below for why the full box is secondary).",
+            "The optional local[cpu_count] leg did not run this time; the",
+            "graded pair above is unaffected (see the machine-probe",
+            "rationale below for why the full box is secondary).",
             "",
         ]
     elif isinstance(sec, dict):
@@ -696,9 +707,38 @@ def write_bench_md(queries: dict, crawl: dict, sf_dir: str, total: float) -> Non
             f"host-level throughput drifts hour to hour (identical 8-core legs "
             f"measured 178.8-331.6 s in one session) and the drift is "
             f"bandwidth-shaped — it suppresses the high-core leg more — so the "
-            f"control separates engine scaling from host co-tenancy.",
+            f"control separates engine scaling from host co-tenancy. A machine",
+            f"ratio above 1.0 is probe sampling noise (each probe is a short",
+            f"adjacent sample, ~10 s); when that happens the engine-relative",
+            f"figure is correspondingly UNDERstated — read the raw pair",
+            f"efficiencies against their per-pair machine columns instead.",
             "",
         ] if crawl.get("machine_efficiency") else []),
+        "### Where the efficiency goes (event-log decomposition)",
+        "",
+        "One same-window 2-core/8-core pair was run with full event logs",
+        "(tools/stage_profile.py) in a degraded window (walls 608.3 s /",
+        "222.9 s, raw efficiency 0.682) and decomposes exactly:",
+        "",
+        "* **executor-work inflation 1.30x** — the same crawl costs 1485.9",
+        "  executor-seconds at 8 cores vs 1139.0 at 2. The two media fetch",
+        "  stages (>70% of all executor time) inflate 1.16-1.20x — the",
+        "  DRAM-bandwidth effect the Spark-free machine probe measures on",
+        "  this box — while small staging stages inflate ~2x because task",
+        "  count scales with cores and their cost is per-task fixed overhead.",
+        "* **utilization 83.3% vs 93.6%** — idle-core time is ~37 s at 8",
+        "  cores and ~39 s at 2: the same ABSOLUTE per-iteration driver",
+        "  floor (commit barriers, job scheduling, staging-pool critical",
+        "  path) in both legs, which costs the 4x-shorter leg 4x more",
+        "  relative wall. (1/1.30) x (0.833/0.936) = 0.682, the measured",
+        "  ratio, with no unexplained residual.",
+        "",
+        "Both terms shrink with scale: the floor amortizes with ~1000x more",
+        "work per politeness round at a 10^10-URL frontier (BENCH/SCALE.md's",
+        "10^6-seed leg sustains 3013 pages/s over 17 iterations), and the",
+        "bandwidth term is the box's own ceiling, which the per-leg machine",
+        "probes report next to every pair above.",
+        "",
         "Politeness budgets are independent of parallelism, so the ratio measures",
         "engine overhead, not budget relaxation (BASELINE.md measurement plan).",
         "",
